@@ -1,0 +1,84 @@
+"""Pallas flash attention vs jnp reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from revisionllm_tpu.ops.flash_attention import flash_attention, mha_reference
+
+
+def rand_qkv(rng, B, T, S, H, KH, d, dtype=jnp.float32):
+    q = jnp.asarray(rng.normal(size=(B, T, H, d)), dtype=dtype)
+    k = jnp.asarray(rng.normal(size=(B, S, KH, d)), dtype=dtype)
+    v = jnp.asarray(rng.normal(size=(B, S, KH, d)), dtype=dtype)
+    return q, k, v
+
+
+class TestReference:
+    def test_causal_masks_future(self):
+        rng = np.random.default_rng(0)
+        q, k, v = rand_qkv(rng, 1, 4, 4, 2, 2, 8)
+        out = mha_reference(q, k, v, causal=True)
+        # first position attends only to itself -> equals v[0]
+        np.testing.assert_allclose(np.asarray(out[0, 0]), np.asarray(v[0, 0]), rtol=1e-5)
+
+    def test_kv_lens_mask(self):
+        rng = np.random.default_rng(1)
+        q, k, v = rand_qkv(rng, 2, 4, 8, 2, 2, 8)
+        out_full = mha_reference(q, k[:, :5], v[:, :5], causal=False)
+        out_masked = mha_reference(q, k, v, causal=False, kv_lens=jnp.array([5, 5]))
+        np.testing.assert_allclose(
+            np.asarray(out_full), np.asarray(out_masked), rtol=1e-5, atol=1e-6
+        )
+
+    def test_gqa_equivalent_to_repeat(self):
+        rng = np.random.default_rng(2)
+        q, k, v = rand_qkv(rng, 1, 8, 8, 4, 2, 16)
+        out = mha_reference(q, k, v, causal=True)
+        k_rep = jnp.repeat(k, 2, axis=2)
+        v_rep = jnp.repeat(v, 2, axis=2)
+        out_rep = mha_reference(q, k_rep, v_rep, causal=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_rep), rtol=1e-5)
+
+
+class TestPallasKernel:
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_matches_reference(self, causal):
+        rng = np.random.default_rng(3)
+        q, k, v = rand_qkv(rng, 2, 256, 256, 2, 2, 128)
+        ref = mha_reference(q, k, v, causal=causal)
+        out = flash_attention(q, k, v, causal=causal, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+    def test_unaligned_seq_padding(self):
+        rng = np.random.default_rng(4)
+        q, k, v = rand_qkv(rng, 1, 200, 200, 2, 2, 128)
+        ref = mha_reference(q, k, v, causal=True)
+        out = flash_attention(q, k, v, causal=True, interpret=True, block_q=128, block_k=128)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+    def test_kv_lens(self):
+        rng = np.random.default_rng(5)
+        q, k, v = rand_qkv(rng, 2, 128, 256, 2, 2, 128)
+        lens = jnp.array([100, 256])
+        ref = mha_reference(q, k, v, causal=False, kv_lens=lens)
+        out = flash_attention(q, k, v, causal=False, kv_lens=lens, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+    def test_gqa(self):
+        rng = np.random.default_rng(6)
+        q, k, v = rand_qkv(rng, 1, 128, 128, 4, 2, 128)
+        ref = mha_reference(q, k, v, causal=True)
+        out = flash_attention(q, k, v, causal=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+    def test_bf16(self):
+        rng = np.random.default_rng(7)
+        q, k, v = rand_qkv(rng, 1, 128, 128, 2, 2, 128, dtype=jnp.bfloat16)
+        ref = mha_reference(q, k, v, causal=True)
+        out = flash_attention(q, k, v, causal=True, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out, dtype=np.float32), np.asarray(ref, dtype=np.float32),
+            rtol=5e-2, atol=5e-2,
+        )

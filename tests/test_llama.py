@@ -1,0 +1,115 @@
+"""Backbone tests: shapes, causality, and prefill/decode parity with the
+full-sequence forward (the property that makes KV-cache decode trustworthy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from revisionllm_tpu.config import LlamaConfig
+from revisionllm_tpu.models import llama
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = LlamaConfig.tiny()
+    cfg = cfg.__class__(**{**cfg.__dict__, "dtype": "float32"})
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    return cfg, params
+
+
+class TestForward:
+    def test_shapes(self, setup):
+        cfg, params = setup
+        B, T = 2, 16
+        ids = jnp.arange(B * T).reshape(B, T) % cfg.vocab_size
+        embeds = llama.embed_tokens(params, ids)
+        pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+        hidden = llama.forward_hidden(cfg, params, embeds, pos)
+        assert hidden.shape == (B, T, cfg.hidden_size)
+        logits = llama.logits_from_hidden(params, hidden)
+        assert logits.shape == (B, T, cfg.vocab_size)
+        assert logits.dtype == jnp.float32
+
+    def test_causality(self, setup):
+        """Changing a future token must not affect past logits."""
+        cfg, params = setup
+        T = 12
+        ids1 = jnp.arange(T)[None] % cfg.vocab_size
+        ids2 = ids1.at[0, -1].set((ids1[0, -1] + 7) % cfg.vocab_size)
+        pos = jnp.arange(T)[None]
+        h1 = llama.forward_hidden(cfg, params, llama.embed_tokens(params, ids1), pos)
+        h2 = llama.forward_hidden(cfg, params, llama.embed_tokens(params, ids2), pos)
+        np.testing.assert_allclose(
+            np.asarray(h1[0, :-1]), np.asarray(h2[0, :-1]), rtol=1e-5, atol=1e-5
+        )
+        assert not np.allclose(np.asarray(h1[0, -1]), np.asarray(h2[0, -1]))
+
+    def test_remat_matches(self, setup):
+        cfg, params = setup
+        ids = jnp.arange(8)[None] % cfg.vocab_size
+        pos = jnp.arange(8)[None]
+        e = llama.embed_tokens(params, ids)
+        h1 = llama.forward_hidden(cfg, params, e, pos, remat=False)
+        h2 = llama.forward_hidden(cfg, params, e, pos, remat=True)
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-5, atol=1e-6)
+
+    def test_sentinel_ids_clamped(self, setup):
+        cfg, params = setup
+        ids = jnp.array([[-200, 5, -300, 7]])
+        e = llama.embed_tokens(params, ids)
+        np.testing.assert_allclose(np.asarray(e[0, 0]), np.asarray(params["embed"][0]))
+
+
+class TestDecodeParity:
+    def test_prefill_then_decode_matches_full_forward(self, setup):
+        cfg, params = setup
+        B, P, G = 2, 10, 4  # prompt len, generate len
+        total = P + G
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(B, total)))
+        pos = jnp.broadcast_to(jnp.arange(total), (B, total))
+
+        # full teacher-forced forward
+        full_hidden = llama.forward_hidden(
+            cfg, params, llama.embed_tokens(params, ids), pos
+        )
+        full_logits = llama.logits_from_hidden(params, full_hidden)
+
+        # prefill prompt, then feed the same tokens step by step
+        cache = llama.init_kv_cache(cfg, B, total, jnp.float32)
+        prompt_embeds = llama.embed_tokens(params, ids[:, :P])
+        logits, cache = llama.prefill(cfg, params, prompt_embeds, pos[:, :P], cache)
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(full_logits[:, P - 1]), rtol=1e-4, atol=1e-4
+        )
+        cache_lens = jnp.full((B,), P, dtype=jnp.int32)
+        for t in range(P, total):
+            tok = llama.embed_tokens(params, ids[:, t : t + 1])
+            logits, cache = llama.decode_step(cfg, params, cache, cache_lens, tok)
+            np.testing.assert_allclose(
+                np.asarray(logits), np.asarray(full_logits[:, t]), rtol=1e-4, atol=1e-4
+            )
+            cache_lens = cache_lens + 1
+
+    def test_ragged_prefill_last_logits(self, setup):
+        """Rows with different prompt lengths: prefill must pick each row's own
+        final position."""
+        cfg, params = setup
+        B, T = 2, 8
+        rng = np.random.default_rng(1)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(B, T)))
+        pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+        kv_lens = jnp.array([5, 8], dtype=jnp.int32)
+
+        cache = llama.init_kv_cache(cfg, B, T + 4, jnp.float32)
+        logits, _ = llama.prefill(
+            cfg, params, llama.embed_tokens(params, ids), pos, cache, kv_lens=kv_lens
+        )
+        # row 0's last valid position is 4: compare against a dense forward of
+        # just the first 5 tokens
+        h = llama.forward_hidden(
+            cfg, params, llama.embed_tokens(params, ids[:1, :5]), pos[:1, :5]
+        )
+        want = llama.logits_from_hidden(params, h)[0, -1]
+        np.testing.assert_allclose(np.asarray(logits[0]), np.asarray(want), rtol=1e-4, atol=1e-4)
