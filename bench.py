@@ -1,0 +1,117 @@
+"""Benchmark: grounded queries/sec/chip, stage-1 dense MAD configuration.
+
+Workload (BASELINE.md / reference scripts/mad/eval_stage1_dense.sh): one
+query over a 1-hour movie at 5 fps -> 57 overlapping 125 s windows, each
+linspace-sampled to 250 frames; every window runs the full grounding forward
+(ClipEncoder temporal adapter -> 250 video tokens spliced into the v1 prompt
+-> Vicuna-7B prefill -> 12-token greedy decode with inline entropy capture).
+
+Windows are batched per LLM call (the reference uses batch=1 per A100;
+batching is the TPU win) in chunks sized to fit HBM next to the bf16 weights.
+
+`vs_baseline`: the reference repo publishes no throughput (BASELINE.md), so
+the denominator is an estimate of the reference's single-A100 rate on the
+same workload: ~0.28 s/window (prefill ~300 tok + ~10 sampled tokens at
+batch 1, fp16) -> 57 windows => ~0.0625 queries/sec. Update when a measured
+reference number exists.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REF_QPS_ESTIMATE = 0.0625  # single-A100 stage-1 dense estimate (see docstring)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from revisionllm_tpu.config import AdapterConfig, LlamaConfig
+    from revisionllm_tpu.constants import IMAGE_TOKEN_INDEX
+    from revisionllm_tpu.models import revisionllm
+    from revisionllm_tpu.models.multimodal import build_splice_plan, stack_plans
+    from __graft_entry__ import _zeros_params
+
+    n_layers = int(os.environ.get("BENCH_LAYERS", "32"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "8"))
+    windows_per_query = 57           # 1 h x 5 fps, 125 s windows, 50% overlap
+    num_frames = 250
+    max_new_tokens = 12              # "From XXX to YYY." ≈ 9-12 tokens
+    prompt_extra = 60                # v1 system+question tokens around <video>
+
+    cfg = LlamaConfig(num_layers=n_layers)
+    adapter_cfg = AdapterConfig(
+        clip_adapter_text=True, hierarchy=False, feature_mode="temporal",
+        hidden_size=cfg.hidden_size,
+    )
+    dtype = jnp.dtype(cfg.dtype)
+
+    params = _zeros_params(cfg, dtype)
+    vision = revisionllm.init_vision_params(
+        adapter_cfg, jax.random.PRNGKey(1), dtype=dtype
+    )
+
+    prompt_ids = (
+        [1] + list(range(100, 100 + prompt_extra - 20))
+        + [IMAGE_TOKEN_INDEX] + list(range(200, 220))
+    )
+    max_len = num_frames + prompt_extra + 8
+    plan_np = stack_plans(
+        [build_splice_plan(prompt_ids, num_frames, max_len)] * chunk
+    )
+    plan = {k: jnp.asarray(v) for k, v in plan_np.items()}
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.normal(size=(chunk, num_frames, 768)).astype(np.float32), dtype
+    )
+    query_feats = jnp.asarray(
+        rng.normal(size=(chunk, 25, 768)).astype(np.float32), dtype
+    )
+
+    def run(params, vision, images, query_feats):
+        out = revisionllm.generate_grounding(
+            cfg, adapter_cfg, params, vision, plan, images, query_feats,
+            eos_id=2, max_new_tokens=max_new_tokens,
+        )
+        return out["tokens"], out["entropy_stats"]
+
+    fn = jax.jit(run)
+    t0 = time.time()
+    toks, stats = fn(params, vision, images, query_feats)
+    jax.block_until_ready((toks, stats))
+    compile_s = time.time() - t0
+
+    # warm + measure
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    fn(params, vision, images, query_feats)[0].block_until_ready()
+    t0 = time.time()
+    for _ in range(iters):
+        toks, stats = fn(params, vision, images, query_feats)
+    jax.block_until_ready((toks, stats))
+    dt = (time.time() - t0) / iters
+
+    windows_per_sec = chunk / dt
+    qps = windows_per_sec / windows_per_query
+    result = {
+        "metric": "grounded_queries_per_sec_per_chip_stage1_dense_1h",
+        "value": round(qps, 4),
+        "unit": "queries/sec/chip",
+        "vs_baseline": round(qps / REF_QPS_ESTIMATE, 2),
+    }
+    print(
+        f"# chunk={chunk} layers={n_layers} compile={compile_s:.1f}s "
+        f"chunk_latency={dt*1e3:.1f}ms windows/s={windows_per_sec:.2f}",
+        file=sys.stderr,
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

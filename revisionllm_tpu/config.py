@@ -54,6 +54,8 @@ class AdapterConfig:
     """ClipEncoder adapter geometry
     (reference revisionllm/model/adapter/transformer.py:60-87)."""
 
+    kind: str = "clip_encoder"       # clip_encoder | mlp (plain Linear 768->4096,
+                                     # the non-clip_adapter path of vtimellm_arch.py:42)
     d_model: int = 768
     num_heads: int = 8
     num_layers: int = 2

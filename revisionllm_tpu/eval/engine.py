@@ -1,0 +1,324 @@
+"""Batched hierarchical grounding engine.
+
+The compiled-program replacement for the reference's per-query Python eval
+loops (revisionllm/eval/eval_nlq_negative.py:183-341 and
+eval_nlq_retrieval_e2e2.py:230-422): window slicing happens once on host as an
+integer gather plan, the full window batch is assembled on device, and every
+chunk of windows runs ONE jitted program (adapter -> splice -> prefill ->
+decode scan with inline entropy). Programs are cached per shape bucket so a
+whole eval run compiles a handful of programs.
+
+Stage-1 (`ground_windows`): every window answers "From X to Y" / "Not
+Present"; proposals are scored by inverse decode entropy and CLIP cosine.
+Stage-2 (`retrieve`): windows are compressed to 1 CLS token each (hierarchy
+adapter), shuffled (order-bias mitigation, reference :348-350), zoom-repeated,
+and the LLM answers "In video N" per multi-scale pass [4, 2, 1].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from revisionllm_tpu.config import AdapterConfig, EvalConfig, LlamaConfig
+from revisionllm_tpu.constants import QUESTIONS
+from revisionllm_tpu.conversation import CONV_VICUNA_V1
+from revisionllm_tpu.eval import metrics as M
+from revisionllm_tpu.eval.similarity import proposal_cosine_scores
+from revisionllm_tpu.models import revisionllm
+from revisionllm_tpu.models.multimodal import build_splice_plan, stack_plans
+from revisionllm_tpu.ops import windows as W
+from revisionllm_tpu.tokenization import tokenizer_image_token
+
+
+@dataclasses.dataclass
+class ChunkResult:
+    answers: List[str]
+    entropy_stats: np.ndarray  # [B, 4] (max, min, mean, std)
+
+
+class GroundingEngine:
+    """Holds model params + jitted per-shape programs."""
+
+    def __init__(
+        self,
+        llama_cfg: LlamaConfig,
+        adapter_cfg: AdapterConfig,
+        params: Dict[str, Any],
+        vision_params: Dict[str, Any],
+        tokenizer,
+        eval_cfg: EvalConfig,
+        eos_id: int = 2,
+        use_pallas: Optional[bool] = None,
+    ):
+        self.llama_cfg = llama_cfg
+        self.adapter_cfg = adapter_cfg
+        self.params = params
+        self.vision_params = vision_params
+        self.tokenizer = tokenizer
+        self.eval_cfg = eval_cfg
+        self.eos_id = eos_id
+        self.use_pallas = use_pallas
+        self._compiled: Dict[Tuple, Any] = {}
+
+    # ------------------------------------------------------------------ utils
+
+    def _prompt_ids(self, sentence: str, question_template: str) -> List[int]:
+        """Build the v1 prompt with <video> sentinel, tokenized
+        (parity: inference.py:31-35)."""
+        query = "<video>\n" + question_template.format(sentence)
+        prompt = CONV_VICUNA_V1.user_turn_prompt(query)
+        return tokenizer_image_token(prompt, self.tokenizer)
+
+    def _decode_answers(self, tokens: np.ndarray, valid: np.ndarray) -> List[str]:
+        """Token ids -> stripped answer strings (parity: inference.py:62-75)."""
+        out = []
+        stop = CONV_VICUNA_V1.stop_str
+        for row, v in zip(tokens, valid):
+            ids = [int(t) for t, ok in zip(row, v) if ok and int(t) != self.eos_id]
+            text = self.tokenizer.decode(ids, skip_special_tokens=True).strip()
+            if text.endswith(stop):
+                text = text[: -len(stop)].strip()
+            out.append(text)
+        return out
+
+    def _get_program(self, key: Tuple) -> Any:
+        if key not in self._compiled:
+            cfg, acfg = self.llama_cfg, self.adapter_cfg
+
+            def run(params, vision, plan, images, query_feats, query_valid):
+                return revisionllm.generate_grounding(
+                    cfg, acfg, params, vision, plan, images, query_feats,
+                    query_valid, eos_id=self.eos_id,
+                    max_new_tokens=self.eval_cfg.max_new_tokens,
+                    temperature=0.0 if self.eval_cfg.greedy else self.eval_cfg.temperature,
+                    use_pallas=self.use_pallas,
+                )
+
+            self._compiled[key] = jax.jit(run)
+        return self._compiled[key]
+
+    def _run_chunk(
+        self,
+        plan_np: Dict[str, np.ndarray],
+        images: np.ndarray,
+        query_feats: Optional[np.ndarray],
+        query_valid: Optional[np.ndarray],
+    ) -> ChunkResult:
+        dtype = jnp.dtype(self.llama_cfg.dtype)
+        plan = {k: jnp.asarray(v) for k, v in plan_np.items()}
+        images_j = jnp.asarray(images, dtype)
+        if query_feats is not None:
+            qf = jnp.asarray(query_feats, dtype)
+            qv = jnp.asarray(query_valid) if query_valid is not None else None
+        else:
+            qf, qv = None, None
+        key = (
+            images_j.shape, plan["text_ids"].shape,
+            None if qf is None else qf.shape,
+        )
+        out = self._get_program(key)(
+            self.params, self.vision_params, plan, images_j, qf, qv
+        )
+        tokens = np.asarray(out["tokens"])
+        valid = np.asarray(out["valid"])
+        stats = np.asarray(out["entropy_stats"])
+        return ChunkResult(self._decode_answers(tokens, valid), stats)
+
+    # ---------------------------------------------------------------- stage 1
+
+    def ground_windows(
+        self,
+        features: np.ndarray,
+        sentence: str,
+        query_feats: Optional[np.ndarray] = None,
+        query_cls: Optional[np.ndarray] = None,
+        question_key: str = "mad_grounding",
+    ) -> Dict[str, Any]:
+        """Dense grounding over every window of a feature track.
+
+        features: [ctx_l, 768] (full movie). Returns answers + per-window
+        entropy scores + proposal cosine scores, the per-query payload of
+        reference eval_nlq_negative.py:270-337.
+        """
+        ecfg = self.eval_cfg
+        clip_length = int(ecfg.debug_window * ecfg.feature_fps)
+        bounds = W.dense_window_bounds(len(features), clip_length)
+        if not bounds:
+            return {"answers": [], "scores_entropy": [], "score_cos": [], "frames": {}}
+        plan_idx = W.window_frame_indices(bounds, ecfg.num_frames)
+        windows = features[plan_idx]  # [N, num_frames, 768] host gather
+
+        ids = self._prompt_ids(sentence, QUESTIONS[question_key])
+        chunk = max(ecfg.batch, 1)
+        n = len(bounds)
+
+        answers: List[str] = []
+        scores_entropy: List[float] = []
+        for start in range(0, n, chunk):
+            end = min(start + chunk, n)
+            feats = windows[start:end]
+            if len(feats) < chunk:  # pad the tail chunk to the compiled shape
+                pad = np.repeat(feats[-1:], chunk - len(feats), axis=0)
+                feats = np.concatenate([feats, pad], axis=0)
+            plan = build_splice_plan(
+                ids, ecfg.num_frames, len(ids) - 1 + ecfg.num_frames + ecfg.max_new_tokens
+            )
+            plan_np = stack_plans([plan] * chunk)
+            qf = qv = None
+            if query_feats is not None:
+                qf = np.repeat(query_feats[None], chunk, axis=0)
+                qv = np.ones(qf.shape[:2], dtype=bool)
+            res = self._run_chunk(plan_np, feats, qf, qv)
+            answers.extend(res.answers[: end - start])
+            col = 0 if ecfg.score == "max_entropy" else 2
+            scores_entropy.extend(res.entropy_stats[: end - start, col].tolist())
+
+        # proposal parsing + CLIP cosine scoring (reference :307-320)
+        frames: Dict[int, Tuple[int, int]] = {}
+        for i, a in enumerate(answers):
+            span = M.parse_span(a)
+            if span is None:
+                continue
+            f, t = span
+            if f == ecfg.num_frames - 1 and t == ecfg.num_frames - 1:
+                continue
+            frames[i] = (f, t)
+
+        score_cos: List[float] = []
+        if query_cls is not None:
+            qc = jnp.asarray(query_cls, jnp.float32)
+            for i, (f, t) in frames.items():
+                prop = windows[i][f : t + 1].astype(np.float32)
+                maxlen = ecfg.num_frames
+                padded = np.zeros((maxlen, prop.shape[-1]), np.float32)
+                padded[: len(prop)] = prop
+                valid = np.zeros(maxlen, bool)
+                valid[: len(prop)] = True
+                s = proposal_cosine_scores(
+                    qc, jnp.asarray(padded), jnp.asarray(valid),
+                    k=min(len(prop), 3) if ecfg.topk_pool else 3,
+                )
+                score_cos.append(float(s))
+
+        if ecfg.normalize:
+            if score_cos:
+                m_s = max(score_cos)
+                if m_s != 0:
+                    score_cos = [e / m_s for e in score_cos]
+            kept_entropy = [scores_entropy[i] for i in frames]
+            if kept_entropy:
+                m_s = max(kept_entropy)
+                if m_s != 0:
+                    kept_entropy = [e / m_s for e in kept_entropy]
+        else:
+            kept_entropy = [scores_entropy[i] for i in frames]
+
+        if "entropy" in ecfg.score:
+            if ecfg.score_merge == "add":
+                scores = [a - b for a, b in zip(score_cos, kept_entropy)] if score_cos else [-e for e in kept_entropy]
+            elif ecfg.score_merge == "multiply" and score_cos:
+                scores = [a / b if b else a for a, b in zip(score_cos, kept_entropy)]
+            else:
+                scores = [-e for e in kept_entropy]
+        else:
+            scores = score_cos
+
+        return {
+            "answers": answers,
+            "frames": frames,
+            "scores": scores,
+            "scores_entropy": scores_entropy,
+            "score_cos": score_cos,
+            "num_windows": n,
+        }
+
+    # ---------------------------------------------------------------- stage 2
+
+    def retrieve(
+        self,
+        features: np.ndarray,
+        sentence: str,
+        query_feats: Optional[np.ndarray] = None,
+        query_cls: Optional[np.ndarray] = None,
+        grounding_windows: Optional[List[int]] = None,
+        rng: Optional[np.random.Generator] = None,
+    ) -> Dict[str, Any]:
+        """Hierarchical coarse retrieval with multi-scale zoom passes.
+
+        features: [ctx_l, 768]. One LLM call per zoom in hierarchy_zooms; each
+        call sees eval_cfg.batch window-CLS tokens (reference
+        eval_nlq_retrieval_e2e2.py:337-386).
+        """
+        ecfg = self.eval_cfg
+        rng = rng or np.random.default_rng(42)
+        clip_length = int(ecfg.debug_window * ecfg.feature_fps)
+        bounds = W.strided_window_bounds(len(features), clip_length, ecfg.stride)
+        plan_idx = W.window_frame_indices(bounds, ecfg.num_frames)
+        windows = features[plan_idx]  # [V, T, 768]
+
+        if grounding_windows is None:
+            grounding_windows = list(range(len(windows)))
+        else:
+            windows = windows[np.asarray(grounding_windows, np.int32)]
+
+        ids = self._prompt_ids(sentence, QUESTIONS["retrieval"])
+
+        answers: List[str] = []
+        starts: List[int] = []
+        indexes: List[np.ndarray] = []
+        hierarchy_zooms: List[int] = []
+        mean_entropy: List[float] = []
+        max_entropy: List[float] = []
+
+        V = len(windows)
+        for zoom in ecfg.hierarchy_zooms:
+            batch = max(ecfg.batch // zoom, 1)
+            n_calls = int(np.ceil(V / batch))
+            for i in range(n_calls):
+                start = i * batch
+                end = min(start + batch, V)
+                if end - start < batch:
+                    start = max(end - batch, 0)
+                starts.append(start)
+                feat = windows[start : start + batch]
+                if len(feat) < batch:
+                    feat = np.concatenate(
+                        [feat, np.repeat(feat[-1:], batch - len(feat), axis=0)], 0
+                    )
+                perm = rng.permutation(feat.shape[0])
+                indexes.append(perm)
+                feat = feat[perm]
+                if zoom > 1:
+                    feat = np.repeat(feat, zoom, axis=0)
+                num_videos = feat.shape[0]
+
+                plan = build_splice_plan(
+                    ids, num_videos, len(ids) - 1 + num_videos + ecfg.max_new_tokens
+                )
+                plan_np = stack_plans([plan])
+                qf = qv = None
+                if query_feats is not None:
+                    qf = query_feats[None]
+                    qv = np.ones(qf.shape[:2], dtype=bool)
+                res = self._run_chunk(plan_np, feat[None], qf, qv)
+                answers.extend(res.answers)
+                hierarchy_zooms.append(zoom)
+                max_entropy.append(1.0 / max(res.entropy_stats[0, 0], 1e-9))
+                mean_entropy.append(1.0 / max(res.entropy_stats[0, 2], 1e-9))
+
+        return {
+            "answers": answers,
+            "starts": starts,
+            "indexes": [idx.tolist() for idx in indexes],
+            "hierarchy_zooms": hierarchy_zooms,
+            "mean_entropy": mean_entropy,
+            "max_entropy": max_entropy,
+            "grounding_windows": grounding_windows,
+            "num_windows": V,
+        }

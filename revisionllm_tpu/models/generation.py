@@ -1,0 +1,115 @@
+"""Compiled batch decoding with inline confidence capture.
+
+Replaces the reference's copied-in HF `sample()` host loop
+(revisionllm/model/vtimellm_llama.py:113-393 — one Python iteration + host
+sync per token, with `scores` kept as a list of raw-logit tensors for later
+entropy scoring) with a single `lax.scan` program: prefill once, then G decode
+steps on-device. Per-step softmax entropy and chosen-token log-probability are
+computed inline in fp32 — the information the reference extracts offline via
+get_entropy_statistics (funs_get_feature_X.py:120-146) — so confidence
+re-ranking needs no [G, B, vocab] logits round-trip to the host.
+
+Decoding is greedy by default: the reference samples at temperature 0.05
+(inference.py:49-51), which is argmax for every practical logit gap; a
+temperature path is provided for exact stochastic parity.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from revisionllm_tpu.config import LlamaConfig
+from revisionllm_tpu.models import llama
+
+
+def generate(
+    cfg: LlamaConfig,
+    params: Dict[str, Any],
+    embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    prompt_lens: jnp.ndarray,
+    *,
+    eos_id: int,
+    max_new_tokens: int,
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    use_pallas: Optional[bool] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Decode `max_new_tokens` for a right-padded batch of spliced prompts.
+
+    embeds [B, L, D], positions [B, L], prompt_lens [B].
+    Returns dict with tokens/entropy/logprob/valid, each [B, G].
+    """
+    B, L, _ = embeds.shape
+    G = max_new_tokens
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    cache = llama.init_kv_cache(cfg, B, L + G, dtype=embeds.dtype)
+    first_logits, cache = llama.prefill(
+        cfg, params, embeds, positions, cache, kv_lens=prompt_lens,
+        use_pallas=use_pallas,
+    )
+
+    def select_token(logits, step_rng):
+        if temperature > 0.0:
+            return jax.random.categorical(step_rng, logits / temperature, axis=-1)
+        return jnp.argmax(logits, axis=-1)
+
+    def step(carry, _):
+        cache, cache_lens, logits, done, rng = carry
+        rng, sub = jax.random.split(rng)
+        logits32 = logits.astype(jnp.float32)
+        probs = jax.nn.softmax(logits32, axis=-1)
+        entropy = -jnp.sum(probs * jnp.log(probs + 1e-10), axis=-1)  # [B]
+        token = select_token(logits32, sub)  # [B]
+        logprob = jnp.log(
+            jnp.take_along_axis(probs, token[:, None], axis=-1)[:, 0] + 1e-10
+        )
+        valid = jnp.logical_not(done)
+        token_out = jnp.where(valid, token, eos_id)
+
+        tok_embed = llama.embed_tokens(params, token_out[:, None])
+        next_logits, cache = llama.decode_step(
+            cfg, params, cache, cache_lens, tok_embed.astype(embeds.dtype)
+        )
+        done = jnp.logical_or(done, token_out == eos_id)
+        return (cache, cache_lens + 1, next_logits, done, rng), (
+            token_out, entropy, logprob, valid,
+        )
+
+    init = (
+        cache,
+        prompt_lens.astype(jnp.int32),
+        first_logits,
+        jnp.zeros((B,), dtype=bool),
+        rng,
+    )
+    _, (tokens, entropy, logprob, valid) = jax.lax.scan(step, init, None, length=G)
+
+    return {
+        "tokens": jnp.swapaxes(tokens, 0, 1),     # [B, G]
+        "entropy": jnp.swapaxes(entropy, 0, 1),   # [B, G] fp32
+        "logprob": jnp.swapaxes(logprob, 0, 1),   # [B, G] fp32
+        "valid": jnp.swapaxes(valid, 0, 1),       # [B, G] bool
+    }
+
+
+def entropy_stats_from_steps(
+    entropy: jnp.ndarray, valid: jnp.ndarray
+) -> jnp.ndarray:
+    """[B, G] per-step entropies + validity -> [B, 4] (max, min, mean, std),
+    matching get_entropy_statistics over the generated steps
+    (reference funs_get_feature_X.py:130-146)."""
+    m = valid.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    neg_inf = jnp.float32(-3.4e38)
+    e_max = jnp.max(jnp.where(valid, entropy, neg_inf), axis=1)
+    e_min = jnp.min(jnp.where(valid, entropy, -neg_inf), axis=1)
+    e_mean = jnp.sum(entropy * m, axis=1) / n
+    var = jnp.sum(m * (entropy - e_mean[:, None]) ** 2, axis=1) / jnp.maximum(n - 1.0, 1.0)
+    e_std = jnp.where(n > 1, jnp.sqrt(var), 0.0)
+    return jnp.stack([e_max, e_min, e_mean, e_std], axis=1)

@@ -1,0 +1,255 @@
+"""Dataset / preprocessing / collator / feature-store tests over synthetic
+MAD-style records."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from revisionllm_tpu.config import DataConfig
+from revisionllm_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+from revisionllm_tpu.data.collator import Collator
+from revisionllm_tpu.data.dataset import GroundingDataset
+from revisionllm_tpu.data.feature_store import (
+    NpyFeatureStore,
+    QueryFeatureStore,
+    RvfsStore,
+    RvfsWriter,
+    open_feature_store,
+)
+from revisionllm_tpu.data.preprocess import preprocess_v1, render_v1
+
+
+class FakeTokenizer:
+    """Word-level tokenizer with BOS=1 and EOS=2 ('</s>' split off like
+    sentencepiece-llama does — the property preprocess_v1's label counting
+    relies on)."""
+
+    bos_token_id = 1
+    eos_token_id = 2
+
+    def __init__(self):
+        self.vocab = {}
+        self.inv = {}
+
+    def _id(self, w):
+        if w not in self.vocab:
+            i = len(self.vocab) + 10
+            self.vocab[w] = i
+            self.inv[i] = w
+        return self.vocab[w]
+
+    def _word_ids(self, w):
+        out = []
+        while "</s>" in w:
+            head, _, w = w.partition("</s>")
+            if head:
+                out.append(self._id(head))
+            out.append(self.eos_token_id)
+        if w:
+            out.append(self._id(w))
+        return out
+
+    def __call__(self, text):
+        class R:
+            pass
+
+        r = R()
+        ids = [1]
+        for w in text.split():
+            ids.extend(self._word_ids(w))
+        r.input_ids = ids
+        return r
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(self.inv.get(i, "?") for i in ids if i > 2)
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mad")
+    fps, dur = 5.0, 600.0
+    feats = np.random.default_rng(0).normal(size=(int(dur * fps), 16)).astype(np.float32)
+    np.save(root / "movie1.npy", feats)
+
+    records = [
+        {
+            "id": "movie1",
+            "query_id": f"q{k}",
+            "conversations": [
+                {"from": "human", "value": "<video>\nDuring which frames can we see a dog?"},
+                {"from": "gpt", "value": "From <s0> to <e0>."},
+            ],
+            "meta": {"duration": dur, "token": {"<s0>": 200.0 + k, "<e0>": 210.0 + k}},
+            "source": "mad",
+        }
+        for k in range(4)
+    ]
+    with open(root / "train.json", "w") as f:
+        json.dump(records, f)
+
+    # query feature store (rvfs)
+    with RvfsWriter(str(root / "queries.rvfs")) as w:
+        for k in range(4):
+            w.add(
+                f"q{k}",
+                {
+                    "token_features": np.random.default_rng(k).normal(size=(7, 16)).astype(np.float32),
+                    "cls_features": np.random.default_rng(k + 100).normal(size=(16,)).astype(np.float32),
+                },
+            )
+    return root
+
+
+class TestFeatureStore:
+    def test_rvfs_roundtrip(self, tmp_path):
+        path = str(tmp_path / "x.rvfs")
+        a = np.arange(12, dtype=np.float32).reshape(3, 4)
+        b = np.arange(5, dtype=np.int32)
+        with RvfsWriter(path) as w:
+            w.add("k1", {"features": a})
+            w.add("k2", {"token_features": b.astype(np.float32), "cls_features": a[0]})
+        s = RvfsStore(path)
+        np.testing.assert_array_equal(s.get("k1"), a)
+        rec = s.get_record("k2")
+        np.testing.assert_array_equal(rec["cls_features"], a[0])
+        assert "k1" in s and "zzz" not in s
+
+    def test_npy_store(self, data_dir):
+        s = open_feature_store(str(data_dir))
+        assert isinstance(s, NpyFeatureStore)
+        assert s.get("movie1").shape[0] == 3000
+
+    def test_query_store_normalizes_cls(self, data_dir):
+        qs = QueryFeatureStore(str(data_dir / "queries.rvfs"))
+        tok, cls = qs.get("q0")
+        assert tok.shape == (7, 16)
+        assert np.linalg.norm(cls) == pytest.approx(1.0, rel=1e-3)
+
+
+class TestPreprocess:
+    def test_labels_mask_human_turn(self):
+        tok = FakeTokenizer()
+        convs = [
+            {"from": "human", "value": "<video> when does it happen"},
+            {"from": "gpt", "value": "From 10 to 20."},
+        ]
+        out = preprocess_v1(convs, tok)
+        ids, labels = out["input_ids"], out["labels"]
+        assert IMAGE_TOKEN_INDEX in ids.tolist()
+        answer_ids = [tok.vocab[w] for w in "From 10 to 20.".split()]
+        supervised = labels[labels != IGNORE_INDEX].tolist()
+        for a in answer_ids:
+            assert a in supervised
+        # question tokens masked
+        q_id = tok.vocab["when"]
+        pos = ids.tolist().index(q_id)
+        assert labels[pos] == IGNORE_INDEX
+
+    def test_render_v1_shape(self):
+        convs = [
+            {"from": "human", "value": "hi"},
+            {"from": "gpt", "value": "hello"},
+        ]
+        text = render_v1(convs)
+        assert text.endswith("ASSISTANT: hello</s>")
+
+
+class TestDataset:
+    def _cfg(self, data_dir, **kw):
+        base = dict(
+            data_path=str(data_dir / "train.json"),
+            feat_folder=str(data_dir),
+            q_feat_dir=str(data_dir / "queries.rvfs"),
+            vis_feat_storage="npy",
+            num_frames=64,
+            feature_fps=5.0,
+            debug_window=100,
+        )
+        base.update(kw)
+        return DataConfig(**base)
+
+    def test_positive_item(self, data_dir):
+        ds = GroundingDataset(
+            str(data_dir / "train.json"), FakeTokenizer(),
+            self._cfg(data_dir), rng=np.random.default_rng(0), debug=True,
+        )
+        item = ds[0]
+        assert item["image"].shape == (64, 16)
+        assert IMAGE_TOKEN_INDEX in item["input_ids"].tolist()
+        # answer contains two-digit frame tokens within range
+        assert "query_feat" in item
+        s, e = item["start_end_frame"]
+        assert 0 <= s <= e <= 63
+
+    def test_negative_item_answer(self, data_dir):
+        ds = GroundingDataset(
+            str(data_dir / "train.json"), FakeTokenizer(),
+            self._cfg(data_dir), rng=np.random.default_rng(1), debug=True,
+        )
+        item = ds.getitem(0, neg=True)
+        text = " ".join(
+            ds.tokenizer.inv.get(int(t), "?") for t in item["input_ids"] if int(t) > 2
+        )
+        assert "Not Present" in text.replace("Not Present", "Not Present") or "Not" in text
+
+    def test_neg_window_synthesis(self, data_dir):
+        cfg = self._cfg(data_dir, neg_window=True, neg_samples=0.5, neg_factor=1)
+        ds = GroundingDataset(
+            str(data_dir / "train.json"), FakeTokenizer(), cfg,
+            rng=np.random.default_rng(2), debug=True,
+        )
+        # 4 records + 2 negatives
+        assert len(ds) == 6
+
+    def test_hierarchy_assembly(self, data_dir):
+        cfg = self._cfg(
+            data_dir, hierarchy=True, hierarchy_num_videos=6, debug_window=100
+        )
+        ds = GroundingDataset(
+            str(data_dir / "train.json"), FakeTokenizer(), cfg,
+            rng=np.random.default_rng(3), debug=True,
+        )
+        item = ds[0]
+        # [V, T, d] window stack
+        assert item["image"].shape == (6, 64, 16)
+
+    def test_stream_pairs(self, data_dir):
+        cfg = self._cfg(data_dir, stream=True)
+        ds = GroundingDataset(
+            str(data_dir / "train.json"), FakeTokenizer(), cfg,
+            rng=np.random.default_rng(4), debug=True,
+        )
+        item = ds[0]
+        assert "clip2" in item and "neg" in item
+
+    def test_deterministic_with_seed(self, data_dir):
+        mk = lambda seed: GroundingDataset(
+            str(data_dir / "train.json"), FakeTokenizer(),
+            self._cfg(data_dir), rng=np.random.default_rng(seed), debug=True,
+        )[0]
+        a, b = mk(7), mk(7)
+        np.testing.assert_array_equal(a["input_ids"], b["input_ids"])
+        np.testing.assert_array_equal(a["image"], b["image"])
+
+
+class TestCollator:
+    def test_batch_shapes(self, data_dir):
+        ds = GroundingDataset(
+            str(data_dir / "train.json"), FakeTokenizer(),
+            DataConfig(
+                data_path=str(data_dir / "train.json"), feat_folder=str(data_dir),
+                q_feat_dir=str(data_dir / "queries.rvfs"), vis_feat_storage="npy",
+                num_frames=64, feature_fps=5.0, debug_window=100,
+            ),
+            rng=np.random.default_rng(5), debug=True,
+        )
+        coll = Collator(max_len=128, num_video_tokens=64)
+        batch = coll([ds[0], ds[1]])
+        assert batch["text_ids"].shape == (2, 128)
+        assert batch["images"].shape == (2, 64, 16)
+        assert batch["query_feats"].shape == (2, 25, 16)
+        assert batch["iteration_step"] == 0
+        batch2 = coll([ds[0], ds[1]])
+        assert batch2["iteration_step"] == 1
