@@ -1,0 +1,76 @@
+"""Engine construction from CLI args: checkpoint assembly + tokenizer.
+
+The glue between the eval CLIs and the converted checkpoints — parity with
+the reference's load_pretrained_model call sites
+(eval_nlq_negative.py:143, eval_nlq_retrieval_e2e2.py:180).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+
+from revisionllm_tpu.config import AdapterConfig, EvalConfig
+from revisionllm_tpu.eval.engine import GroundingEngine
+from revisionllm_tpu.models.convert import jnp_tree, load_pretrained
+
+
+def adapter_cfg_from_args(args) -> AdapterConfig:
+    hierarchy = bool(getattr(args, "hierarchy", False))
+    if getattr(args, "clip_adapter", False) or getattr(args, "pretrain_clip_adapter", None):
+        return AdapterConfig(
+            kind="clip_encoder",
+            clip_adapter_text=bool(getattr(args, "clip_adapter_text", False)),
+            cross_attn=bool(getattr(args, "cross_attn", False)),
+            hierarchy=hierarchy,
+            feature_mode="cls" if hierarchy else getattr(args, "clip_adapter_feature", "temporal"),
+        )
+    return AdapterConfig(kind="mlp", hierarchy=hierarchy)
+
+
+def eval_cfg_from_args(args) -> EvalConfig:
+    return EvalConfig(
+        debug_window=args.debug_window,
+        num_frames=args.num_frames,
+        feature_fps=args.feature_fps,
+        batch=args.batch,
+        stride=getattr(args, "stride", 2),
+        split=args.split,
+        total_split=args.total_split,
+        score=getattr(args, "score", "mean_entropy"),
+        score_merge=getattr(args, "score_merge", "multiply"),
+        normalize=bool(getattr(args, "normalize", True)),
+        topk_pool=bool(getattr(args, "topk_pool", True)),
+        skip_small_videos=bool(getattr(args, "skip_small_videos", True)),
+        single=bool(getattr(args, "single", True)),
+        max_new_tokens=getattr(args, "max_new_tokens", 32),
+    )
+
+
+def build_engine_from_args(args) -> GroundingEngine:
+    adapter_cfg = adapter_cfg_from_args(args)
+
+    llama_cfg, params, vision = load_pretrained(
+        args.model_base,
+        adapter_cfg,
+        mm_projector_path=(
+            getattr(args, "pretrain_clip_adapter", None)
+            or getattr(args, "pretrain_mm_mlp_adapter", None)
+        ),
+        stage2_lora=getattr(args, "stage2", None),
+        stage3_lora=getattr(args, "stage3", None),
+        dtype=jnp.bfloat16,
+    )
+    params = jnp_tree(params)
+    vision = jnp_tree(vision) if vision is not None else None
+
+    from transformers import AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(args.model_base, use_fast=True)
+
+    return GroundingEngine(
+        llama_cfg, adapter_cfg, params, vision, tokenizer,
+        eval_cfg_from_args(args),
+        eos_id=tokenizer.eos_token_id or 2,
+    )

@@ -1,0 +1,160 @@
+"""Stage-1 dense grounding eval CLI.
+
+Flag + output parity with reference revisionllm/eval/eval_nlq_negative.py:
+iterates the query list (with --split/--total_split sharding and resume by
+replaying the existing prediction log), grounds every window of each movie
+through the batched engine, scores proposals by inverse entropy x CLIP
+cosine, and appends the same JSONL records so
+metric_retrieval_forward-compatible fusion runs unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+from typing import Dict, List
+
+import numpy as np
+
+from revisionllm_tpu.config import AdapterConfig, EvalConfig
+from revisionllm_tpu.data.feature_store import QueryFeatureStore, open_feature_store
+from revisionllm_tpu.eval import metrics as M
+from revisionllm_tpu.eval.engine import GroundingEngine
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="stage-1 dense grounding eval")
+    p.add_argument("--model_base", type=str, required=False)
+    p.add_argument("--pretrain_mm_mlp_adapter", type=str, default=None)
+    p.add_argument("--pretrain_clip_adapter", type=str, default=None)
+    p.add_argument("--stage2", type=str, default=None)
+    p.add_argument("--stage3", type=str, default=None)
+    p.add_argument("--data_path", type=str, required=True)
+    p.add_argument("--feat_folder", type=str, required=True)
+    p.add_argument("--q_feat_dir", type=str, default=None)
+    p.add_argument("--log_path", type=str, required=True)
+    p.add_argument("--task", type=str, default="grounding")
+    p.add_argument("--debug_window", type=int, default=125)
+    p.add_argument("--num_frames", type=int, default=250)
+    p.add_argument("--feature_fps", type=float, default=5)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--split", type=int, default=0)
+    p.add_argument("--total_split", type=int, default=1)
+    p.add_argument("--score", type=str, default="mean_entropy",
+                   choices=["cosine_sim", "max_entropy", "mean_entropy"])
+    p.add_argument("--score_merge", type=str, default="multiply", choices=["add", "multiply"])
+    p.add_argument("--normalize", type=bool, default=True)
+    p.add_argument("--topk_pool", type=bool, default=True)
+    p.add_argument("--skip_small_videos", type=bool, default=True)
+    p.add_argument("--clip_adapter", type=bool, default=False)
+    p.add_argument("--clip_adapter_text", type=bool, default=False)
+    p.add_argument("--hierarchy", type=bool, default=False)
+    p.add_argument("--mad_prompt", type=str, default="mad_grounding")
+    p.add_argument("--max_new_tokens", type=int, default=32)
+    p.add_argument("--debug", type=bool, default=False)
+    return p.parse_args(argv)
+
+
+def load_items(data_path: str) -> List[tuple]:
+    """(parity: eval_nlq_negative.py:167-177 input format sniffing)."""
+    if "jsonl" in data_path:
+        with open(data_path) as f:
+            js = [json.loads(line) for line in f]
+        return [(k["query_id"], k) for k in js]
+    js = json.load(open(data_path))
+    if "videos" in js:
+        return [(k["query"], k) for k in js["videos"]]
+    return list(js.items())
+
+
+def run(args, engine: GroundingEngine) -> Dict[str, int]:
+    os.makedirs(args.log_path, exist_ok=True)
+    prediction_path = os.path.join(
+        args.log_path, f"predictions_streaming_{args.split}.txt"
+    )
+
+    done = set()
+    if os.path.exists(prediction_path):  # resume (parity :157-165)
+        with open(prediction_path) as f:
+            for line in f:
+                try:
+                    done.add(json.loads(line)["query_id"])
+                except Exception:
+                    pass
+
+    vis_store = open_feature_store(args.feat_folder)
+    q_store = QueryFeatureStore(args.q_feat_dir) if args.q_feat_dir else None
+
+    items = load_items(args.data_path)
+    binsize = len(items) // args.total_split
+    if args.split == args.total_split - 1:
+        items = items[args.split * binsize :]
+    else:
+        items = items[args.split * binsize : (args.split + 1) * binsize]
+
+    errors, n_done = [], 0
+    for qid, data in items:
+        if qid in done:
+            continue
+        try:
+            movie = data.get("movie", data.get("clip_id", qid))
+            features = vis_store.get(movie)
+
+            if (
+                "movie_duration" in data
+                and data["movie_duration"] <= args.debug_window
+                and args.skip_small_videos
+            ):
+                continue
+
+            query_feats = query_cls = None
+            if q_store is not None:
+                query_feats, query_cls = q_store.get(qid)
+
+            sentence = (
+                data["sentence"].strip().lower()
+                if "sentence" in data
+                else data["query"].strip(".?").lower()
+            )
+            if "sentence" in data and sentence.endswith("."):
+                sentence = sentence[:-1]
+
+            res = engine.ground_windows(
+                features, sentence, query_feats, query_cls,
+                question_key=args.mad_prompt,
+            )
+
+            duration = data.get("movie_duration", data.get("duration"))
+            timestamps = data["timestamps"]
+            gt = (timestamps[0] / duration, timestamps[1] / duration)
+            num_frames_video = int(duration * args.num_frames / args.debug_window)
+            _, ious, scores = M.stage1_iou(
+                res["answers"], gt, args.num_frames, num_frames_video,
+                res["scores"], False,
+            )
+            M.write_log(
+                prediction_path, movie, "grounding", qid, res["answers"],
+                info={"iou": ious, "scores": scores},
+            )
+            n_done += 1
+        except Exception:
+            if args.debug:
+                raise
+            errors.append(qid)
+    print("errors", errors, file=sys.stderr)
+    return {"done": n_done, "errors": len(errors)}
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from revisionllm_tpu.eval.loader import build_engine_from_args
+
+    engine = build_engine_from_args(args)
+    run(args, engine)
+
+
+if __name__ == "__main__":
+    main()

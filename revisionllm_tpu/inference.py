@@ -1,0 +1,112 @@
+"""Single-call inference API.
+
+Parity with reference revisionllm/inference.py:28-75 `inference()`: build the
+v1 prompt around the user query (appending '<memory>' when a visual memory is
+supplied), tokenize with sentinel splicing, repeat the prompt across the
+window batch, generate with confidence capture, and strip the stop string.
+
+The heavy lifting is the compiled path in models/revisionllm.py; this module
+is the thin host-facing convenience the reference exposes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from revisionllm_tpu.config import AdapterConfig, LlamaConfig
+from revisionllm_tpu.conversation import CONV_VICUNA_V1
+from revisionllm_tpu.models import revisionllm
+from revisionllm_tpu.models.multimodal import build_splice_plan, stack_plans
+from revisionllm_tpu.tokenization import tokenizer_image_token
+
+
+def inference(
+    llama_cfg: LlamaConfig,
+    adapter_cfg: AdapterConfig,
+    params: Dict[str, Any],
+    vision_params: Dict[str, Any],
+    tokenizer,
+    image: np.ndarray,
+    query: str,
+    query_feats: Optional[np.ndarray] = None,
+    query_valid: Optional[np.ndarray] = None,
+    visual_memory: Optional[np.ndarray] = None,
+    prefix_memory_ids: Optional[np.ndarray] = None,
+    *,
+    eos_id: int = 2,
+    max_new_tokens: int = 64,
+    temperature: float = 0.0,
+    return_list: bool = False,
+) -> Tuple[Union[str, List[str]], Dict[str, Any]]:
+    """image: [B, T, d] window batch (or [B, V, T, d] hierarchy).
+
+    Returns (answers, raw output dict). answers is a string when B == 1 and
+    return_list is False (parity: inference.py:73-75).
+    """
+    if visual_memory is not None:
+        query = query + "<memory>"
+    prompt = CONV_VICUNA_V1.user_turn_prompt(query)
+    ids = tokenizer_image_token(prompt, tokenizer)
+
+    B = image.shape[0]
+    num_video = image.shape[1]  # windows (hierarchy) or frames (dense)
+
+    memory_tokens = None
+    num_memory = 0
+    if visual_memory is not None:
+        mem = np.asarray(visual_memory)
+        if mem.ndim == 2:
+            mem = mem[:, None]  # [B, 1, d]
+        proj = vision_params["mm_projector"]
+        if adapter_cfg.kind == "mlp":
+            memory_tokens = jnp.asarray(mem) @ proj["w"] + proj["b"]
+        else:
+            raise NotImplementedError(
+                "memory projection requires the mlp projector (stream configs)"
+            )
+        if prefix_memory_ids is not None:
+            from revisionllm_tpu.models.llama import embed_tokens
+
+            prefix_emb = embed_tokens(params, jnp.asarray(prefix_memory_ids))
+            if prefix_emb.ndim == 2:
+                prefix_emb = prefix_emb[None]
+            prefix_emb = jnp.broadcast_to(
+                prefix_emb, (B, prefix_emb.shape[-2], prefix_emb.shape[-1])
+            )
+            memory_tokens = jnp.concatenate(
+                [prefix_emb.astype(memory_tokens.dtype), memory_tokens], axis=1
+            )
+        num_memory = int(memory_tokens.shape[1])
+
+    max_len = len(ids) - 1 + num_video + num_memory + max_new_tokens + 8
+    plan = build_splice_plan(ids, num_video, max_len, num_memory_tokens=num_memory)
+    plan_np = stack_plans([plan] * B)
+    plan_j = {k: jnp.asarray(v) for k, v in plan_np.items()}
+
+    dtype = jnp.dtype(llama_cfg.dtype)
+    qf = jnp.asarray(query_feats, dtype) if query_feats is not None else None
+    qv = jnp.asarray(query_valid) if query_valid is not None else None
+
+    out = revisionllm.generate_grounding(
+        llama_cfg, adapter_cfg, params, vision_params, plan_j,
+        jnp.asarray(image, dtype), qf, qv, memory_tokens=memory_tokens,
+        eos_id=eos_id, max_new_tokens=max_new_tokens, temperature=temperature,
+    )
+
+    stop = CONV_VICUNA_V1.stop_str
+    answers: List[str] = []
+    tokens = np.asarray(out["tokens"])
+    valid = np.asarray(out["valid"])
+    for row, v in zip(tokens, valid):
+        keep = [int(t) for t, ok in zip(row, v) if ok and int(t) != eos_id]
+        text = tokenizer.decode(keep, skip_special_tokens=True).strip()
+        if text.endswith(stop):
+            text = text[: -len(stop)].strip()
+        answers.append(text)
+
+    if len(answers) == 1 and not return_list:
+        return answers[0], out
+    return answers, out

@@ -1,0 +1,173 @@
+"""End-to-end slice: stage-1 dense grounding + stage-2 retrieval + fusion over
+synthetic MAD-style data with a tiny random model — the full L3->L5->L7
+pipeline of SURVEY.md §7 running as one test."""
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from revisionllm_tpu.config import AdapterConfig, EvalConfig, LlamaConfig
+from revisionllm_tpu.eval import fusion, metrics as M, stage1, stage2
+from revisionllm_tpu.eval.engine import GroundingEngine
+from revisionllm_tpu.models import llama, revisionllm
+
+from test_dataset import FakeTokenizer
+
+
+@pytest.fixture(scope="module")
+def tiny_engine():
+    cfg = LlamaConfig.tiny()
+    cfg = cfg.__class__(**{**cfg.__dict__, "dtype": "float32"})
+    adapter_cfg = AdapterConfig(
+        d_model=16, num_heads=4, num_layers=2, ffn_dim=32,
+        hidden_size=cfg.hidden_size, clip_adapter_text=True, hierarchy=False,
+        feature_mode="temporal",
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    vision = revisionllm.init_vision_params(adapter_cfg, jax.random.PRNGKey(1), d_in=16)
+    eval_cfg = EvalConfig(
+        debug_window=20, num_frames=16, feature_fps=2.0, batch=4, stride=2,
+        max_new_tokens=6,
+    )
+    tok = FakeTokenizer()
+    # pre-register digit words so decode round-trips
+    for i in range(300):
+        tok._id(str(i))
+    return GroundingEngine(cfg, adapter_cfg, params, vision, tok, eval_cfg)
+
+
+@pytest.fixture(scope="module")
+def eval_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("eval")
+    fps = 2.0
+    dur = 200.0
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(int(dur * fps), 16)).astype(np.float32)
+    np.save(root / "m1.npy", feats)
+    data = {
+        "q1": {
+            "movie": "m1",
+            "movie_duration": dur,
+            "timestamps": [50.0, 60.0],
+            "query": "a red car drives by.",
+        },
+        "q2": {
+            "movie": "m1",
+            "movie_duration": dur,
+            "timestamps": [100.0, 110.0],
+            "query": "someone opens a door?",
+        },
+    }
+    with open(root / "val.json", "w") as f:
+        json.dump(data, f)
+    return root
+
+
+class TestStage1E2E:
+    def test_run_writes_jsonl(self, tiny_engine, eval_data, tmp_path):
+        args = argparse.Namespace(
+            data_path=str(eval_data / "val.json"),
+            feat_folder=str(eval_data),
+            q_feat_dir=None,
+            log_path=str(tmp_path / "s1"),
+            debug_window=20, num_frames=16, feature_fps=2.0,
+            batch=4, split=0, total_split=1,
+            score="mean_entropy", score_merge="multiply",
+            normalize=True, topk_pool=True, skip_small_videos=True,
+            mad_prompt="mad_grounding", max_new_tokens=6, debug=True,
+        )
+        out = stage1.run(args, tiny_engine)
+        assert out["done"] == 2 and out["errors"] == 0
+        logs = M.load_prediction_logs(str(tmp_path / "s1"), 1)
+        assert len(logs) == 2
+        rec = logs[0]
+        assert set(rec) == {"video_id", "task", "query_id", "answer", "info"}
+        assert "iou" in rec["info"] and "scores" in rec["info"]
+        # 200s track at 2fps = 400 frames; window 40 frames -> 19 windows
+        assert len(rec["answer"]) == 19
+
+    def test_resume_skips_done(self, tiny_engine, eval_data, tmp_path):
+        args_dict = dict(
+            data_path=str(eval_data / "val.json"), feat_folder=str(eval_data),
+            q_feat_dir=None, log_path=str(tmp_path / "s1r"),
+            debug_window=20, num_frames=16, feature_fps=2.0,
+            batch=4, split=0, total_split=1,
+            score="mean_entropy", score_merge="multiply",
+            normalize=True, topk_pool=True, skip_small_videos=True,
+            mad_prompt="mad_grounding", max_new_tokens=6, debug=True,
+        )
+        out1 = stage1.run(argparse.Namespace(**args_dict), tiny_engine)
+        out2 = stage1.run(argparse.Namespace(**args_dict), tiny_engine)
+        assert out1["done"] == 2 and out2["done"] == 0
+
+
+class TestStage2E2E:
+    def test_run_and_fuse(self, eval_data, tmp_path):
+        # hierarchy engine: CLS adapter
+        cfg = LlamaConfig.tiny()
+        cfg = cfg.__class__(**{**cfg.__dict__, "dtype": "float32"})
+        adapter_cfg = AdapterConfig(
+            d_model=16, num_heads=4, num_layers=2, ffn_dim=32,
+            hidden_size=cfg.hidden_size, clip_adapter_text=True, hierarchy=True,
+            feature_mode="cls",
+        )
+        params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+        vision = revisionllm.init_vision_params(adapter_cfg, jax.random.PRNGKey(1), d_in=16)
+        eval_cfg = EvalConfig(
+            debug_window=20, num_frames=16, feature_fps=2.0, batch=8, stride=5,
+            max_new_tokens=4, hierarchy_zooms=(2, 1),
+        )
+        tok = FakeTokenizer()
+        for i in range(300):
+            tok._id(str(i))
+        engine = GroundingEngine(cfg, adapter_cfg, params, vision, tok, eval_cfg)
+
+        args = argparse.Namespace(
+            data_path=str(eval_data / "val.json"), feat_folder=str(eval_data),
+            q_feat_dir=None, log_path=str(tmp_path / "s2"),
+            grounding_path=None,
+            debug_window=20, num_frames=16, feature_fps=2.0,
+            batch=8, stride=5, split=0, total_split=1,
+            distributed_retrieval=1, single=True,
+            max_new_tokens=4, seed=42, debug=True,
+        )
+        out = stage2.run(args, engine)
+        assert out["done"] == 2 and out["errors"] == 0
+        logs = M.load_prediction_logs(str(tmp_path / "s2"), 1)
+        assert len(logs) == 2
+        info = logs[0]["info"]
+        for k in ("gt", "frames", "iou", "mean_entropy", "max_entropy", "hierarchy_zooms"):
+            assert k in info
+        # zoom passes: (2,1) over 8-batch
+        assert set(info["hierarchy_zooms"]) <= {1, 2}
+
+
+class TestFusionCLI:
+    def test_fusion_main(self, tmp_path, capsys):
+        g = tmp_path / "g"
+        r = tmp_path / "r"
+        g.mkdir(), r.mkdir()
+        with open(g / "predictions_streaming_0.txt", "w") as f:
+            f.write(json.dumps({
+                "video_id": "m", "task": "grounding", "query_id": "q1",
+                "answer": ["From 1 to 2.", "Not Present"],
+                "info": {"iou": [0.8], "scores": [0.9]},
+            }) + "\n")
+        with open(r / "predictions_streaming_0.txt", "w") as f:
+            f.write(json.dumps({
+                "video_id": "m", "task": "grounding", "query_id": "q1",
+                "answer": ["In video 0"],
+                "info": {"frames": {"0": [0, 3]}, "iou": [1], "mean_entropy": [0.5],
+                         "max_entropy": [0.5], "hierarchy_zooms": [1], "gt": [0]},
+            }) + "\n")
+        metrics = fusion.main([
+            "--grounding_path", str(g), "--retrieval_path", str(r),
+            "--distributed_grounding", "1", "--distributed_retrieval", "1",
+        ])
+        assert metrics["mIoU"] == pytest.approx(80.0)
+        assert os.path.isfile(g / "result_retrieval.txt")
