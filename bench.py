@@ -25,6 +25,12 @@ import time
 
 import numpy as np
 
+# Persistent compilation cache: the Pallas kernel compile over the axon relay
+# costs ~3 min cold; warm runs load from disk in seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 REF_QPS_ESTIMATE = 0.0625  # single-A100 stage-1 dense estimate (see docstring)
 
 
