@@ -46,6 +46,7 @@ def main():
 
     n_layers = int(os.environ.get("BENCH_LAYERS", "32"))
     chunk = int(os.environ.get("BENCH_CHUNK", "8"))
+    use_int8 = os.environ.get("BENCH_INT8", "1") == "1"
     windows_per_query = 57           # 1 h x 5 fps, 125 s windows, 50% overlap
     num_frames = 250
     max_new_tokens = 12              # "From XXX to YYY." ≈ 9-12 tokens
@@ -59,6 +60,12 @@ def main():
     dtype = jnp.dtype(cfg.dtype)
 
     params = _zeros_params(cfg, dtype)
+    if use_int8:
+        # serving config for 16 GB v5e: int8 weights halve HBM footprint and
+        # the weight-streaming time of the memory-bound decode
+        from revisionllm_tpu.ops.quant import quantize_llama_params
+
+        params = quantize_llama_params(params)
     vision = revisionllm.init_vision_params(
         adapter_cfg, jax.random.PRNGKey(1), dtype=dtype
     )

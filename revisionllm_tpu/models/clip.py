@@ -57,13 +57,21 @@ def _block(layer: Dict[str, Any], x: jnp.ndarray, num_heads: int, causal: bool) 
     return x
 
 
-def encode_image(params: Dict[str, Any], pixels: jnp.ndarray) -> jnp.ndarray:
+def encode_image(
+    params: Dict[str, Any],
+    pixels: jnp.ndarray,
+    patch_size: int | None = None,
+    num_heads: int | None = None,
+) -> jnp.ndarray:
     """pixels: [B, 3, H, W] normalized. Returns [B, proj_dim] image features.
 
-    Patch embedding is a strided conv = reshape + matmul (MXU-friendly)."""
+    Patch embedding is a strided conv = reshape + matmul (MXU-friendly).
+    `patch_size`/`num_heads` must be passed explicitly when `params` is a jit
+    argument (they are static ints, not weights)."""
     v = params["visual"]
     B = pixels.shape[0]
-    P = v["patch_size"]
+    P = patch_size if patch_size is not None else v["patch_size"]
+    heads = num_heads if num_heads is not None else v["num_heads"]
     # [B, 3, H, W] -> [B, gh, gw, 3*P*P] -> matmul
     x = pixels.reshape(B, 3, pixels.shape[2] // P, P, pixels.shape[3] // P, P)
     x = x.transpose(0, 2, 4, 1, 3, 5).reshape(B, -1, 3 * P * P)
@@ -73,23 +81,26 @@ def encode_image(params: Dict[str, Any], pixels: jnp.ndarray) -> jnp.ndarray:
     x = x + v["pos_embed"][None]
     x = layer_norm(x, v["ln_pre_w"], v["ln_pre_b"])
     for layer in v["blocks"]:
-        x = _block(layer, x, v["num_heads"], causal=False)
+        x = _block(layer, x, heads, causal=False)
     x = layer_norm(x[:, 0], v["ln_post_w"], v["ln_post_b"])
     return x @ v["proj"]
 
 
 def encode_text(
-    params: Dict[str, Any], token_ids: jnp.ndarray
+    params: Dict[str, Any],
+    token_ids: jnp.ndarray,
+    num_heads: int | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """token_ids: [B, 77]. Returns {last_hidden_state: [B, 77, proj],
     pooler_output: [B, proj]} — the reference's modified return
     (clip/model.py:339-352): per-token features projected, pooled at argmax
     (EOT) position."""
     t = params["text"]
+    heads = num_heads if num_heads is not None else t["num_heads"]
     x = jnp.take(t["token_embed"], token_ids, axis=0)
     x = x + t["pos_embed"][None, : x.shape[1]]
     for layer in t["blocks"]:
-        x = _block(layer, x, t["num_heads"], causal=True)
+        x = _block(layer, x, heads, causal=True)
     x = layer_norm(x, t["ln_final_w"], t["ln_final_b"])
     projected = x @ t["proj"]
     eot = jnp.argmax(token_ids, axis=-1)

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from revisionllm_tpu.config import LlamaConfig
 from revisionllm_tpu.ops.flash_attention import attention, mha_reference
 from revisionllm_tpu.ops.norms import rms_norm
+from revisionllm_tpu.ops.quant import q8_apply
 from revisionllm_tpu.ops.rope import apply_rope, rope_angles
 
 Params = Dict[str, Any]
@@ -96,7 +97,7 @@ def embed_tokens(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
 
 
 def _lora_apply(x, w, lora_layer, scale):
-    y = x @ w
+    y = q8_apply(x, w)
     if lora_layer is not None:
         y = y + (x @ lora_layer["a"]) @ lora_layer["b"] * scale
     return y
@@ -195,7 +196,7 @@ def forward_hidden(
 def logits_from_hidden(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
     """LM head in fp32 (decode-entropy statistics need full-precision logits,
     matching the raw-logit capture of reference vtimellm_llama.py:321)."""
-    return (hidden @ params["lm_head"]).astype(jnp.float32)
+    return q8_apply(hidden, params["lm_head"]).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -270,9 +271,9 @@ def decode_step(
         lp, ck, cv = xs
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
         lora_lp = None  # decode path uses merged weights
-        q = (h @ lp["q_proj"]).reshape(B, 1, H, hd)
-        k = (h @ lp["k_proj"]).reshape(B, 1, KH, hd)
-        v = (h @ lp["v_proj"]).reshape(B, 1, KH, hd)
+        q = q8_apply(h, lp["q_proj"]).reshape(B, 1, H, hd)
+        k = q8_apply(h, lp["k_proj"]).reshape(B, 1, KH, hd)
+        v = q8_apply(h, lp["v_proj"]).reshape(B, 1, KH, hd)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -291,7 +292,7 @@ def decode_step(
         p = jax.nn.softmax(s, axis=-1)
         o = jnp.einsum("bkgs,bskd->bkgd", p, cv.astype(jnp.float32))
         o = o.reshape(B, 1, H * hd).astype(x.dtype)
-        x = x + o @ lp["o_proj"]
+        x = x + q8_apply(o, lp["o_proj"])
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
         x = x + _mlp_block(lp, lora_lp, 0.0, h)
         return x, (ck, cv)

@@ -1,0 +1,161 @@
+"""Int8 weight quantization + Pallas quantized matmul.
+
+TPU-native counterpart of the reference's native quantization component
+(revisionllm/model/chatglm/quantization.py:15-40 — int4/int8 CUDA kernels
+shipped via cpm_kernels), generalized to the Vicuna path: per-output-channel
+absmax int8 weights halve HBM footprint AND halve the weight-streaming time
+of the memory-bound decode step (7B bf16 = 13.5 GB does not fit v5e-16GB next
+to a KV cache; int8 = 6.75 GB does).
+
+The Pallas kernel streams int8 blocks HBM->VMEM, converts to bf16 in VMEM
+(never materializing a bf16 copy in HBM), runs the MXU dot with fp32
+accumulation, and applies the per-channel scale at the final K block.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def quantize_int8(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """w: [..., K, N] -> (int8 values [..., K, N], fp32 scales [..., N]).
+
+    Per-output-channel absmax (the standard W8A16 scheme; reference
+    W8A16Linear quantizes per-row of the torch [out, in] layout, which is the
+    same channel axis)."""
+    absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(
+        jnp.round(w.astype(jnp.float32) / scale[..., None, :]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def dequantize_int8(q: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (q.astype(jnp.float32) * scale[..., None, :]).astype(dtype)
+
+
+def _q8_matmul_kernel(
+    x_ref,      # [bm, bk] activations
+    w_ref,      # [bk, bn] int8
+    s_ref,      # [1, bn] fp32 scales
+    o_ref,      # [bm, bn]
+    acc_ref,    # [bm, bn] fp32 scratch
+    *,
+    num_k_blocks: int,
+):
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[...].astype(x_ref.dtype)  # int8 -> bf16 in VMEM
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ik == num_k_blocks - 1)
+    def _():
+        o_ref[...] = (acc_ref[...] * s_ref[0, :]).astype(o_ref.dtype)
+
+
+def int8_matmul(
+    x: jnp.ndarray,
+    w_q8: jnp.ndarray,
+    scale: jnp.ndarray,
+    *,
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x: [M, K] (bf16/f32); w_q8: [K, N] int8; scale: [N] fp32 -> [M, N].
+
+    Leading batch dims of x are flattened into M."""
+    orig_shape = x.shape
+    K = x.shape[-1]
+    N = w_q8.shape[-1]
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+
+    bm = min(block_m, max(8, M))
+    bn = min(block_n, N)
+    bk = min(block_k, K)
+    pad_m = (-M) % bm
+    pad_k = (-K) % bk
+    pad_n = (-N) % bn
+    if pad_m or pad_k:
+        x2 = jnp.pad(x2, ((0, pad_m), (0, pad_k)))
+    wq = w_q8
+    sc = scale
+    if pad_k or pad_n:
+        wq = jnp.pad(wq, ((0, pad_k), (0, pad_n)))
+        sc = jnp.pad(sc, ((0, pad_n),))
+    Mp, Kp, Np = M + pad_m, K + pad_k, N + pad_n
+    nk = Kp // bk
+
+    out = pl.pallas_call(
+        functools.partial(_q8_matmul_kernel, num_k_blocks=nk),
+        grid=(Mp // bm, Np // bn, nk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np * Kp,
+            bytes_accessed=Mp * Kp * 2 + Kp * Np + Mp * Np * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, wq, sc[None, :])
+
+    out = out[:M, :N]
+    return out.reshape(*orig_shape[:-1], N)
+
+
+def q8_apply(
+    x: jnp.ndarray, w, use_pallas: Optional[bool] = None
+) -> jnp.ndarray:
+    """Matmul dispatch: w is either a dense array or a {'q8', 'scale'} dict.
+
+    On non-TPU backends (tests) the int8 path dequantizes and uses jnp."""
+    if not (isinstance(w, dict) and "q8" in w):
+        return x @ w
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu", "gpu")
+    if use_pallas:
+        return int8_matmul(x, w["q8"], w["scale"])
+    return x @ dequantize_int8(w["q8"], w["scale"], x.dtype)
+
+
+def quantize_llama_params(params, quantize_lm_head: bool = True):
+    """Quantize all stacked layer matrices (and optionally lm_head) of a
+    models/llama param tree to int8. Norms and embed stay bf16."""
+    out = dict(params)
+    layers = {}
+    for name, w in params["layers"].items():
+        if name.endswith("_norm"):
+            layers[name] = w
+        else:
+            q, s = quantize_int8(w)  # [L, K, N] -> [L, K, N] i8 + [L, N]
+            layers[name] = {"q8": q, "scale": s}
+    out["layers"] = layers
+    if quantize_lm_head:
+        q, s = quantize_int8(params["lm_head"])
+        out["lm_head"] = {"q8": q, "scale": s}
+    return out

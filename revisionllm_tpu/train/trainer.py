@@ -111,15 +111,70 @@ def make_loss_fn(
     return loss_fn
 
 
+def make_stream_loss_fn(
+    llama_cfg: LlamaConfig,
+    adapter_cfg: AdapterConfig,
+    train_cfg: TrainConfig,
+):
+    """Streaming-memory loss (reference vtimellm_trainer.compute_loss
+    :67-133): clip2's forward sees [prefix-text, pooled clip1 memory] tokens
+    at its <memory> sentinel; stream_loss='double' adds clip1's own loss.
+
+    Batch layout: clip1 fields at top level, clip2 fields prefixed 'c2_',
+    plus host-built `visual_memory` [B, M, d] (data/stream.py) and
+    `prefix_ids` [B, P]."""
+    from revisionllm_tpu.models import llama as llama_mod
+
+    lora_cfg = train_cfg.lora or LoraConfig()
+    scale = lora_mod.lora_scale(lora_cfg)
+    plan_keys = ("text_ids", "kind", "src_idx", "labels", "positions", "lengths")
+
+    def loss_fn(trainable, frozen, base_params, batch, rng):
+        lora = trainable.get("lora", frozen.get("lora"))
+        vision = trainable.get("vision", frozen.get("vision"))
+        lscale = scale if lora is not None else 0.0
+
+        proj = vision["mm_projector"]
+        mem_tokens = batch["visual_memory"] @ proj["w"] + proj["b"]  # [B, M, D]
+        prefix_emb = llama_mod.embed_tokens(base_params, batch["prefix_ids"])
+        memory_tokens = jnp.concatenate(
+            [prefix_emb.astype(mem_tokens.dtype), mem_tokens], axis=1
+        )
+
+        plan2 = {k: batch[f"c2_{k}"] for k in plan_keys}
+        loss = revisionllm.forward_train(
+            llama_cfg, adapter_cfg, base_params, vision, plan2,
+            batch["c2_images"], memory_tokens=memory_tokens,
+            lora=lora, lora_scale=lscale, deterministic=False, rng=rng,
+            remat=train_cfg.gradient_checkpointing,
+        )
+        if train_cfg.stream_loss == "double":
+            plan1 = {k: batch[k] for k in plan_keys}
+            loss1 = revisionllm.forward_train(
+                llama_cfg, adapter_cfg, base_params, vision, plan1,
+                batch["images"], lora=lora, lora_scale=lscale,
+                deterministic=False, rng=rng,
+                remat=train_cfg.gradient_checkpointing,
+            )
+            loss = loss + loss1
+        return loss
+
+    return loss_fn
+
+
 def make_train_step(
     llama_cfg: LlamaConfig,
     adapter_cfg: AdapterConfig,
     train_cfg: TrainConfig,
     optimizer: optax.GradientTransformation,
+    stream: bool = False,
 ):
     """Returns train_step(trainable, frozen, base_params, opt_state, batch, rng)
     -> (trainable, opt_state, metrics). Jit/shard at the call site."""
-    loss_fn = make_loss_fn(llama_cfg, adapter_cfg, train_cfg)
+    if stream:
+        loss_fn = make_stream_loss_fn(llama_cfg, adapter_cfg, train_cfg)
+    else:
+        loss_fn = make_loss_fn(llama_cfg, adapter_cfg, train_cfg)
 
     def train_step(trainable, frozen, base_params, opt_state, batch, rng):
         loss, grads = jax.value_and_grad(loss_fn)(
@@ -139,16 +194,16 @@ def make_sharded_train_step(
     train_cfg: TrainConfig,
     optimizer: optax.GradientTransformation,
     mesh,
+    stream: bool = False,
 ):
     """Jit the train step over a mesh with FSDP/TP param shardings and
     data-parallel batch sharding (the one compiled program that replaces the
     DeepSpeed engine)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from revisionllm_tpu.parallel import sharding as S
     from revisionllm_tpu.parallel.mesh import BATCH_AXES
 
-    step = make_train_step(llama_cfg, adapter_cfg, train_cfg, optimizer)
+    step = make_train_step(llama_cfg, adapter_cfg, train_cfg, optimizer, stream=stream)
 
     batch_sharding = NamedSharding(mesh, P(BATCH_AXES))
     repl = NamedSharding(mesh, P())

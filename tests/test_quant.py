@@ -1,0 +1,118 @@
+"""Int8 quantization + Pallas quantized matmul tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from revisionllm_tpu.config import LlamaConfig
+from revisionllm_tpu.models import llama
+from revisionllm_tpu.ops.quant import (
+    dequantize_int8,
+    int8_matmul,
+    q8_apply,
+    quantize_int8,
+    quantize_llama_params,
+)
+
+
+class TestQuantize:
+    def test_roundtrip_error_bounded(self):
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+        q, s = quantize_int8(w)
+        assert q.dtype == jnp.int8 and s.shape == (32,)
+        deq = dequantize_int8(q, s, jnp.float32)
+        err = np.abs(np.asarray(deq) - np.asarray(w))
+        # absmax scheme: error <= scale/2 per channel
+        assert (err <= np.asarray(s) / 2 + 1e-6).all()
+
+    def test_zero_channel_safe(self):
+        w = jnp.zeros((8, 4))
+        q, s = quantize_int8(w)
+        assert np.isfinite(np.asarray(s)).all()
+        np.testing.assert_array_equal(np.asarray(dequantize_int8(q, s)), 0)
+
+    def test_stacked_layers(self):
+        w = jnp.asarray(np.random.default_rng(1).normal(size=(3, 16, 8)), jnp.float32)
+        q, s = quantize_int8(w)
+        assert q.shape == (3, 16, 8) and s.shape == (3, 8)
+
+
+class TestInt8Matmul:
+    def test_matches_dequant_reference(self):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(16, 256)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32))
+        q, s = quantize_int8(w)
+        want = np.asarray(x @ dequantize_int8(q, s, jnp.float32))
+        got = np.asarray(int8_matmul(x, q, s, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+    def test_unaligned_shapes(self):
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(5, 100)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(100, 70)).astype(np.float32))
+        q, s = quantize_int8(w)
+        want = np.asarray(x @ dequantize_int8(q, s, jnp.float32))
+        got = np.asarray(int8_matmul(x, q, s, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+        assert got.shape == (5, 70)
+
+    def test_batched_leading_dims(self):
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(2, 3, 64)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(64, 48)).astype(np.float32))
+        q, s = quantize_int8(w)
+        got = q8_apply(x, {"q8": q, "scale": s}, use_pallas=False)
+        assert got.shape == (2, 3, 48)
+
+
+class TestQuantizedLlama:
+    def test_quantized_forward_close_to_dense(self):
+        cfg = LlamaConfig.tiny()
+        cfg = cfg.__class__(**{**cfg.__dict__, "dtype": "float32"})
+        params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+        qparams = quantize_llama_params(params)
+        assert qparams["layers"]["q_proj"]["q8"].dtype == jnp.int8
+        assert qparams["layers"]["attn_norm"].dtype == jnp.float32  # norms kept
+
+        ids = jnp.arange(12)[None] % cfg.vocab_size
+        pos = jnp.arange(12)[None]
+        e = llama.embed_tokens(params, ids)
+        h_dense = llama.forward_hidden(cfg, params, e, pos)
+        h_q = llama.forward_hidden(cfg, qparams, e, pos)
+        # int8 noise but same predictions structure
+        corr = np.corrcoef(
+            np.asarray(h_dense).ravel(), np.asarray(h_q).ravel()
+        )[0, 1]
+        assert corr > 0.99
+
+    def test_quantized_decode_parity_with_quantized_forward(self):
+        cfg = LlamaConfig.tiny()
+        cfg = cfg.__class__(**{**cfg.__dict__, "dtype": "float32"})
+        params = quantize_llama_params(
+            llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+        )
+        B, P = 1, 6
+        ids = jnp.asarray(np.random.default_rng(0).integers(0, cfg.vocab_size, (B, P + 2)))
+        pos = jnp.broadcast_to(jnp.arange(P + 2), (B, P + 2))
+        full = llama.forward_hidden(
+            cfg, params, llama.embed_tokens(params, ids), pos
+        )
+        full_logits = llama.logits_from_hidden(params, full)
+
+        cache = llama.init_kv_cache(cfg, B, P + 4, jnp.float32)
+        logits, cache = llama.prefill(
+            cfg, params, llama.embed_tokens(params, ids[:, :P]), pos[:, :P], cache
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(full_logits[:, P - 1]), rtol=1e-4, atol=1e-4
+        )
+        lens = jnp.full((B,), P, jnp.int32)
+        logits2, _ = llama.decode_step(
+            cfg, params, cache, lens, llama.embed_tokens(params, ids[:, P : P + 1])
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits2), np.asarray(full_logits[:, P]), rtol=1e-4, atol=1e-4
+        )
