@@ -176,6 +176,39 @@ def stage2_to_records(stage2_data: List[dict]) -> List[dict]:
     return out
 
 
+def msrvtt_to_records(
+    msrvtt_data: dict, train_ids: Optional[List[str]] = None, neg: bool = False
+) -> List[dict]:
+    """MSRVTT retrieval captions -> yes/no retrieval records (parity:
+    msrvtt_retrieval_to_activitynet.py:32-70 — 'During which video can we see
+    {caption}?' with answer 'yes'; no meta/token block)."""
+    out = []
+    id_set = set(train_ids) if train_ids is not None else None
+    for value in msrvtt_data["sentences"]:
+        if id_set is not None and value["video_id"] not in id_set:
+            continue
+        sentence = value["caption"].strip().lower()
+        if sentence.endswith("."):
+            sentence = sentence[:-1]
+        rec = {
+            "query_id": value["sen_id"],
+            "id": value["video_id"],
+            "conversations": [
+                {
+                    "from": "human",
+                    "value": "<video>\nDuring which video can we see {}?".format(sentence),
+                },
+                {"from": "gpt", "value": "yes"},
+            ],
+            "source": "msrvtt",
+        }
+        out.append(rec)
+        if neg:
+            rec["neg"] = "yes"
+            out.append(rec)
+    return out
+
+
 def npy_dir_to_rvfs(npy_dir: str, out_path: str) -> int:
     """Feature dir -> single RVFS store (replaces convert_npy_to_lmdb.py)."""
     n = 0
@@ -189,7 +222,10 @@ def npy_dir_to_rvfs(npy_dir: str, out_path: str) -> int:
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="dataset converters")
-    p.add_argument("kind", choices=["mad", "chapters", "activitynet", "stage2", "npy2rvfs"])
+    p.add_argument(
+        "kind",
+        choices=["mad", "chapters", "activitynet", "stage2", "msrvtt", "npy2rvfs"],
+    )
     p.add_argument("--in_path", required=True)
     p.add_argument("--out_path", required=True)
     p.add_argument("--feat_dir", default=None)
@@ -215,6 +251,8 @@ def main(argv=None):
         records = chapters_to_records(data, args.feat_dir)
     elif args.kind == "activitynet":
         records = activitynet_to_records(data)
+    elif args.kind == "msrvtt":
+        records = msrvtt_to_records(data, neg=args.neg)
     else:
         records = stage2_to_records(data)
 

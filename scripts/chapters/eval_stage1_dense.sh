@@ -1,0 +1,15 @@
+#!/bin/bash
+# MAD stage-1 dense eval (reference scripts/chapters/eval_stage1_dense.sh).
+# One TPU process replaces the 16-shard SLURM array; use SPLIT/TOTAL_SPLIT for
+# multi-host sharding.
+set -e
+python -m revisionllm_tpu.eval.stage1 \
+    --model_base "${MODEL_BASE:?}" \
+    --stage2 "${STAGE2:-checkpoints/chapters_stage1_dense}" \
+    --data_path "${DATA:-data/chapters/MAD_val.json}" \
+    --feat_folder "${FEATS:-data/chapters/frames_2fps.rvfs}" \
+    --q_feat_dir "${QFEATS:-data/chapters/text_features.rvfs}" \
+    --log_path "${OUT_DIR:-checkpoints/chapters_stage1_dense}" \
+    --debug_window 500 --num_frames 250 --feature_fps 2 \
+    --batch "${BATCH:-8}" --split "${SPLIT:-0}" --total_split "${TOTAL_SPLIT:-1}" \
+    "$@"
