@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from revisionllm_tpu.config import LlamaConfig
-from revisionllm_tpu.ops.flash_attention import attention, mha_reference
+from revisionllm_tpu.ops.flash_attention import attention, mha_reference, trainable_attention
 from revisionllm_tpu.ops.norms import rms_norm
 from revisionllm_tpu.ops.quant import q8_apply
 from revisionllm_tpu.ops.rope import apply_rope, rope_angles
@@ -113,6 +113,7 @@ def _attention_block(
     sin: jnp.ndarray,
     kv_lens: Optional[jnp.ndarray],
     use_pallas: Optional[bool],
+    trainable: bool = False,
 ):
     B, T, D = x.shape
     H, KH, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -125,7 +126,11 @@ def _attention_block(
     v = proj("v_proj").reshape(B, T, KH, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    o = attention(q, k, v, causal=True, kv_lens=kv_lens, use_pallas=use_pallas)
+    if trainable:
+        # custom-VJP kernels: the backward also runs blockwise on the MXU
+        o = trainable_attention(q, k, v, causal=True, kv_lens=kv_lens, use_pallas=use_pallas)
+    else:
+        o = attention(q, k, v, causal=True, kv_lens=kv_lens, use_pallas=use_pallas)
     o = o.reshape(B, T, H * hd)
     o = _lora_apply(o, lp["o_proj"], lora_lp.get("o_proj") if lora_lp else None, lora_scale)
     return o, k, v
@@ -151,6 +156,7 @@ def forward_hidden(
     use_pallas: Optional[bool] = None,
     remat: bool = False,
     return_kv: bool = False,
+    trainable: bool = False,
 ):
     """Full-sequence forward. embeds [B, T, D], positions [B, T] int32.
 
@@ -164,7 +170,8 @@ def forward_hidden(
         lp, lora_lp = xs
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
         attn_out, k, v = _attention_block(
-            cfg, lp, lora_lp, lora_scale, h, cos, sin, kv_lens, use_pallas
+            cfg, lp, lora_lp, lora_scale, h, cos, sin, kv_lens, use_pallas,
+            trainable,
         )
         x = x + attn_out
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)

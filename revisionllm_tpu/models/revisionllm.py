@@ -155,6 +155,7 @@ def forward_train(
     hidden = llama.forward_hidden(
         cfg, params, embeds, positions, kv_lens=lengths, lora=lora,
         lora_scale=lora_scale, use_pallas=use_pallas, remat=remat,
+        trainable=True,
     )
     logits = llama.logits_from_hidden(params, hidden)
     return lm_loss(logits, plan["labels"])

@@ -14,9 +14,11 @@ and README.md:52-56). Design follows the online-softmax blocked algorithm:
 - GQA is handled in the BlockSpec index map (kv head = q head // group) so
   no repeated k/v materialization is needed.
 
-Training uses `mha_reference` under `jax.checkpoint` (XLA fuses the softmax
-chain); the Pallas kernel carries the no-grad decode/prefill hot path. A
-custom-VJP Pallas backward is planned (tracked in ROADMAP).
+`make_flash_mha` provides the differentiable variant: a custom VJP whose
+forward also emits the log-sum-exp rows and whose backward runs two more
+Pallas kernels (dq; dk+dv) that rebuild the probability blocks from LSE — the
+standard flash-attention backward, so training never materializes the
+[B, H, T, S] score matrix either.
 """
 
 from __future__ import annotations
@@ -258,3 +260,375 @@ def attention(
     if use_pallas:
         return flash_attention(q, k, v, causal=causal, kv_lens=kv_lens, sm_scale=sm_scale)
     return mha_reference(q, k, v, causal=causal, kv_lens=kv_lens, sm_scale=sm_scale)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable flash attention (custom VJP)
+# ---------------------------------------------------------------------------
+
+
+def _flash_fwd_lse_kernel(
+    kv_lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *, causal, sm_scale, block_q, block_k, num_kv_blocks,
+):
+    """Forward kernel that also stores per-row log-sum-exp (for the VJP)."""
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    kv_len = kv_lens_ref[b]
+    block_live = (ik * block_k) < kv_len
+    if causal:
+        block_live = jnp.logical_and(
+            block_live, (ik * block_k) <= (iq * block_q + block_q - 1)
+        )
+
+    @pl.when(block_live)
+    def _compute():
+        s = jax.lax.dot_general(
+            q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        col_ids = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = col_ids < kv_len
+        if causal:
+            row_ids = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            mask = jnp.logical_and(mask, row_ids >= col_ids)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scratch[:, :1]
+        l_prev = l_scratch[:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
+        l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scratch[...] = acc_scratch[...] * alpha + pv
+
+    @pl.when(ik == num_kv_blocks - 1)
+    def _finalize():
+        m = m_scratch[:, :1]
+        l = l_scratch[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0, ...] = (acc_scratch[...] / l_safe).astype(o_ref.dtype)
+        # fully-masked rows get +inf LSE so the backward's exp() gives 0
+        lse = jnp.where(l > 0.0, m + jnp.log(l), -NEG_INF)
+        lse_ref[0, 0, :] = lse[:, 0]
+
+
+def _flash_dq_kernel(
+    kv_lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    dq_scratch,
+    *, causal, sm_scale, block_q, block_k, num_kv_blocks,
+):
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_scratch[...] = jnp.zeros_like(dq_scratch)
+
+    kv_len = kv_lens_ref[b]
+    block_live = (ik * block_k) < kv_len
+    if causal:
+        block_live = jnp.logical_and(
+            block_live, (ik * block_k) <= (iq * block_q + block_q - 1)
+        )
+
+    @pl.when(block_live)
+    def _compute():
+        s = jax.lax.dot_general(
+            q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        col_ids = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = col_ids < kv_len
+        if causal:
+            row_ids = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            mask = jnp.logical_and(mask, row_ids >= col_ids)
+        lse = lse_ref[0, 0, :][:, None]
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do_ref[0, 0], v_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta = delta_ref[0, 0, :][:, None]
+        ds = p * (dp - delta) * sm_scale
+        dq_scratch[...] += jax.lax.dot_general(
+            ds.astype(k_ref.dtype), k_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ik == num_kv_blocks - 1)
+    def _finalize():
+        dq_ref[0, 0, ...] = dq_scratch[...].astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(
+    kv_lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref, dk_scratch, dv_scratch,
+    *, causal, sm_scale, block_q, block_k, num_q_blocks,
+):
+    b = pl.program_id(0)
+    ik = pl.program_id(2)
+    iq = pl.program_id(3)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scratch[...] = jnp.zeros_like(dk_scratch)
+        dv_scratch[...] = jnp.zeros_like(dv_scratch)
+
+    kv_len = kv_lens_ref[b]
+    block_live = (ik * block_k) < kv_len
+    if causal:
+        # q blocks entirely above the diagonal contribute nothing
+        block_live = jnp.logical_and(
+            block_live, (iq * block_q + block_q - 1) >= (ik * block_k)
+        )
+
+    @pl.when(block_live)
+    def _compute():
+        s = jax.lax.dot_general(
+            q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        col_ids = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = col_ids < kv_len
+        if causal:
+            row_ids = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            mask = jnp.logical_and(mask, row_ids >= col_ids)
+        lse = lse_ref[0, 0, :][:, None]
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        # dv += p^T dO
+        dv_scratch[...] += jax.lax.dot_general(
+            p.astype(do_ref.dtype), do_ref[0, 0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do_ref[0, 0], v_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta = delta_ref[0, 0, :][:, None]
+        ds = p * (dp - delta) * sm_scale
+        # dk += ds^T q
+        dk_scratch[...] += jax.lax.dot_general(
+            ds.astype(q_ref.dtype), q_ref[0, 0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(iq == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0, 0, ...] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[0, 0, ...] = dv_scratch[...].astype(dv_ref.dtype)
+
+
+def _pad_bhtd(x, pad_t):
+    return jnp.pad(x, ((0, 0), (0, 0), (0, pad_t), (0, 0))) if pad_t else x
+
+
+def make_flash_mha(
+    *,
+    causal: bool = True,
+    sm_scale: Optional[float] = None,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+):
+    """Differentiable flash attention for same-length q/kv (training shapes).
+
+    Returns f(q, k, v, kv_lens) -> o with q/k/v [B, T, H|KH, d]. GQA handled
+    by repeating kv heads before the kernels and group-summing dk/dv after.
+    """
+
+    def _prep(q, k, v):
+        B, T, H, d = q.shape
+        KH = k.shape[2]
+        group = H // KH
+        if group > 1:
+            k = jnp.repeat(k, group, axis=2)
+            v = jnp.repeat(v, group, axis=2)
+        scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(d)
+        bq = min(block_q, max(T, 1))
+        bk = min(block_k, max(T, 1))
+        qt = jnp.swapaxes(q, 1, 2)
+        kt = jnp.swapaxes(k, 1, 2)
+        vt = jnp.swapaxes(v, 1, 2)
+        pad_t = (-T) % max(bq, bk)
+        qt, kt, vt = (_pad_bhtd(x, pad_t) for x in (qt, kt, vt))
+        return qt, kt, vt, scale, bq, bk, T, group
+
+    def _fwd_impl(q, k, v, kv_lens):
+        B, T, H, d = q.shape
+        qt, kt, vt, scale, bq, bk, T0, group = _prep(q, k, v)
+        Tp = qt.shape[2]
+        nq, nk = Tp // bq, Tp // bk
+        if kv_lens is None:
+            kv_lens = jnp.full((B,), T0, jnp.int32)
+        kv_lens = jnp.minimum(kv_lens.astype(jnp.int32), T0)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, nq, nk),
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, d), lambda b, h, iq, ik, kv: (b, h, iq, 0)),
+                pl.BlockSpec((1, 1, bk, d), lambda b, h, iq, ik, kv: (b, h, ik, 0)),
+                pl.BlockSpec((1, 1, bk, d), lambda b, h, iq, ik, kv: (b, h, ik, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, bq, d), lambda b, h, iq, ik, kv: (b, h, iq, 0)),
+                pl.BlockSpec((1, 1, bq), lambda b, h, iq, ik, kv: (b, h, iq)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, d), jnp.float32),
+            ],
+        )
+        o, lse = pl.pallas_call(
+            functools.partial(
+                _flash_fwd_lse_kernel, causal=causal, sm_scale=scale,
+                block_q=bq, block_k=bk, num_kv_blocks=nk,
+            ),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((B, H, Tp, d), q.dtype),
+                jax.ShapeDtypeStruct((B, H, Tp), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(kv_lens, qt, kt, vt)
+        out = jnp.swapaxes(o[:, :, :T0], 1, 2)
+        return out, (qt, kt, vt, kv_lens, o, lse, scale, bq, bk, T0, group)
+
+    def _bwd_impl(residuals, g):
+        qt, kt, vt, kv_lens, o, lse, scale, bq, bk, T0, group = residuals
+        B, H, Tp, d = qt.shape
+        nq, nk = Tp // bq, Tp // bk
+        gt = jnp.swapaxes(g, 1, 2)
+        gt = _pad_bhtd(gt, Tp - T0)
+        delta = jnp.sum(gt.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [B,H,Tp]
+
+        common_inputs = (kv_lens, qt, kt, vt, gt, lse, delta)
+        in_specs = [
+            pl.BlockSpec((1, 1, bq, d), lambda b, h, iq, ik, kv: (b, h, iq, 0)),   # q
+            pl.BlockSpec((1, 1, bk, d), lambda b, h, iq, ik, kv: (b, h, ik, 0)),   # k
+            pl.BlockSpec((1, 1, bk, d), lambda b, h, iq, ik, kv: (b, h, ik, 0)),   # v
+            pl.BlockSpec((1, 1, bq, d), lambda b, h, iq, ik, kv: (b, h, iq, 0)),   # do
+            pl.BlockSpec((1, 1, bq), lambda b, h, iq, ik, kv: (b, h, iq)),         # lse
+            pl.BlockSpec((1, 1, bq), lambda b, h, iq, ik, kv: (b, h, iq)),         # delta
+        ]
+        dq = pl.pallas_call(
+            functools.partial(
+                _flash_dq_kernel, causal=causal, sm_scale=scale,
+                block_q=bq, block_k=bk, num_kv_blocks=nk,
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B, H, nq, nk),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((1, 1, bq, d), lambda b, h, iq, ik, kv: (b, h, iq, 0)),
+                scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, H, Tp, d), qt.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(*common_inputs)
+
+        dkv_in_specs = [
+            pl.BlockSpec((1, 1, bq, d), lambda b, h, ik, iq, kv: (b, h, iq, 0)),   # q
+            pl.BlockSpec((1, 1, bk, d), lambda b, h, ik, iq, kv: (b, h, ik, 0)),   # k
+            pl.BlockSpec((1, 1, bk, d), lambda b, h, ik, iq, kv: (b, h, ik, 0)),   # v
+            pl.BlockSpec((1, 1, bq, d), lambda b, h, ik, iq, kv: (b, h, iq, 0)),   # do
+            pl.BlockSpec((1, 1, bq), lambda b, h, ik, iq, kv: (b, h, iq)),         # lse
+            pl.BlockSpec((1, 1, bq), lambda b, h, ik, iq, kv: (b, h, iq)),         # delta
+        ]
+        dk, dv = pl.pallas_call(
+            functools.partial(
+                _flash_dkv_kernel, causal=causal, sm_scale=scale,
+                block_q=bq, block_k=bk, num_q_blocks=nq,
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B, H, nk, nq),
+                in_specs=dkv_in_specs,
+                out_specs=[
+                    pl.BlockSpec((1, 1, bk, d), lambda b, h, ik, iq, kv: (b, h, ik, 0)),
+                    pl.BlockSpec((1, 1, bk, d), lambda b, h, ik, iq, kv: (b, h, ik, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((bk, d), jnp.float32),
+                    pltpu.VMEM((bk, d), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((B, H, Tp, d), kt.dtype),
+                jax.ShapeDtypeStruct((B, H, Tp, d), vt.dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(*common_inputs)
+
+        dq = jnp.swapaxes(dq[:, :, :T0], 1, 2)
+        dk = jnp.swapaxes(dk[:, :, :T0], 1, 2)
+        dv = jnp.swapaxes(dv[:, :, :T0], 1, 2)
+        if group > 1:
+            B_, T_, H_, d_ = dk.shape
+            dk = dk.reshape(B_, T_, H_ // group, group, d_).sum(axis=3)
+            dv = dv.reshape(B_, T_, H_ // group, group, d_).sum(axis=3)
+        return dq, dk, dv, None
+
+    @jax.custom_vjp
+    def flash_mha(q, k, v, kv_lens=None):
+        return _fwd_impl(q, k, v, kv_lens)[0]
+
+    def fwd(q, k, v, kv_lens):
+        out, res = _fwd_impl(q, k, v, kv_lens)
+        return out, res
+
+    flash_mha.defvjp(fwd, _bwd_impl)
+    return flash_mha
+
+
+_FLASH_MHA_CACHE = {}
+
+
+def trainable_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = True,
+    kv_lens: Optional[jnp.ndarray] = None,
+    sm_scale: Optional[float] = None,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Differentiable dispatcher: custom-VJP Pallas kernels on TPU, jnp
+    reference elsewhere. Requires T == S (training/prefill shapes)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu", "gpu")
+    if not use_pallas:
+        return mha_reference(q, k, v, causal=causal, kv_lens=kv_lens, sm_scale=sm_scale)
+    key = (causal, sm_scale)
+    if key not in _FLASH_MHA_CACHE:
+        _FLASH_MHA_CACHE[key] = make_flash_mha(causal=causal, sm_scale=sm_scale)
+    return _FLASH_MHA_CACHE[key](q, k, v, kv_lens)
