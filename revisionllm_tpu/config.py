@@ -29,10 +29,29 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-5
     max_position_embeddings: int = 4096
     dtype: str = "bfloat16"
+    # ChatGLM2 compatibility knobs (reference wraps ChatGLM2-6B as the
+    # secondary backbone, revisionllm/model/vtimellm_chatglm.py:17 over the
+    # vendored model/chatglm/modeling_chatglm.py):
+    rope_fraction: float = 1.0      # fraction of head_dim rotated (GLM2: 0.5)
+    rope_interleaved: bool = False  # GLM2 pairs (even, odd) dims instead of halves
+    qkv_bias: bool = False          # GLM2 has bias on q/k/v only
 
     @staticmethod
     def vicuna_7b() -> "LlamaConfig":
         return LlamaConfig()
+
+    @staticmethod
+    def chatglm2_6b() -> "LlamaConfig":
+        """ChatGLM2-6B geometry (vendored reference
+        model/chatglm/modeling_chatglm.py: 28 layers, MQA with 2 kv groups,
+        half-dim interleaved rotary, SwiGLU 13696)."""
+        return LlamaConfig(
+            vocab_size=65024, hidden_size=4096, intermediate_size=13696,
+            num_layers=28, num_heads=32, num_kv_heads=2, head_dim=128,
+            rope_theta=10000.0, rms_norm_eps=1e-5,
+            max_position_embeddings=32768,
+            rope_fraction=0.5, rope_interleaved=True, qkv_bias=True,
+        )
 
     @staticmethod
     def tiny(vocab_size: int = 512) -> "LlamaConfig":

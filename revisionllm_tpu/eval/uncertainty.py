@@ -82,3 +82,40 @@ def token_prob_statistics(
     lp_var = jnp.sum(m * (-logp - lp_mean[:, None]) ** 2, axis=1) / jnp.maximum(n - 1.0, 1.0)
     lp_std = jnp.where(n > 1, jnp.sqrt(lp_var), 0.0)
     return jnp.stack([p_max, p_min, p_mean, p_std, lp_mean, lp_std], axis=1)
+
+
+def average_hidden_states(
+    hidden_states: jnp.ndarray,
+    layer_list,
+    q_begin: int,
+    q_end: int,
+) -> jnp.ndarray:
+    """Mean hidden state of selected layers over [q_begin, q_end).
+
+    hidden_states: [num_layers, B, T, D] (the stacked per-layer activations
+    our scan naturally produces). Parity: get_average_hidden_states
+    (reference funs_get_feature_X.py:5-28). Returns [B, len(layer_list), D].
+    """
+    if q_begin == q_end:
+        q_begin = q_end - 1
+    sel = jnp.asarray(list(layer_list), jnp.int32)
+    picked = jnp.take(hidden_states, sel, axis=0)  # [L', B, T, D]
+    mean = jnp.mean(picked[:, :, q_begin:q_end, :], axis=2)  # [L', B, D]
+    return jnp.swapaxes(mean, 0, 1)
+
+
+def last_token_hidden_states(
+    hidden_states: jnp.ndarray,
+    layer_list,
+    q_end: int,
+    num_last_tokens: int,
+) -> jnp.ndarray:
+    """Last `num_last_tokens` hidden states before q_end per selected layer.
+
+    Parity: get_last_token_hidden_states (reference
+    funs_get_feature_X.py:31-61). Returns [B, len(layer_list), num_last, D].
+    """
+    sel = jnp.asarray(list(layer_list), jnp.int32)
+    picked = jnp.take(hidden_states, sel, axis=0)
+    window = picked[:, :, q_end - num_last_tokens : q_end, :]
+    return jnp.swapaxes(window, 0, 1)

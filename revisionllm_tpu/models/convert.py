@@ -305,3 +305,61 @@ def jnp_tree(tree):
     import jax.numpy as jnp
 
     return jax.tree.map(jnp.asarray, tree)
+
+
+# ---------------------------------------------------------------------------
+# ChatGLM2 backbone
+# ---------------------------------------------------------------------------
+
+
+def convert_chatglm(
+    state: Dict[str, np.ndarray], cfg: "LlamaConfig", dtype=np.float32
+) -> Dict[str, Any]:
+    """ChatGLM2-6B state dict -> backbone pytree (the secondary LLM path,
+    reference model/vtimellm_chatglm.py over the vendored
+    model/chatglm/modeling_chatglm.py).
+
+    Packed tensors are split: query_key_value [q|k|v] rows; dense_h_to_4h
+    [gate|up] rows (SwiGLU chunk order silu(x0)*x1)."""
+    L = cfg.num_layers
+    q_out = cfg.num_heads * cfg.head_dim
+    kv_out = cfg.num_kv_heads * cfg.head_dim
+    ffn = cfg.intermediate_size
+
+    def key(name):
+        for prefix in ("transformer.", ""):
+            k = prefix + name
+            if k in state:
+                return state[k]
+        raise KeyError(name)
+
+    layers: Dict[str, list] = {
+        n: [] for n in (
+            "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj",
+            "down_proj", "attn_norm", "mlp_norm", "q_bias", "k_bias", "v_bias",
+        )
+    }
+    for i in range(L):
+        pre = f"encoder.layers.{i}"
+        qkv_w = key(f"{pre}.self_attention.query_key_value.weight")
+        qkv_b = key(f"{pre}.self_attention.query_key_value.bias")
+        layers["q_proj"].append(qkv_w[:q_out].T.astype(dtype))
+        layers["k_proj"].append(qkv_w[q_out : q_out + kv_out].T.astype(dtype))
+        layers["v_proj"].append(qkv_w[q_out + kv_out :].T.astype(dtype))
+        layers["q_bias"].append(qkv_b[:q_out].astype(dtype))
+        layers["k_bias"].append(qkv_b[q_out : q_out + kv_out].astype(dtype))
+        layers["v_bias"].append(qkv_b[q_out + kv_out :].astype(dtype))
+        layers["o_proj"].append(key(f"{pre}.self_attention.dense.weight").T.astype(dtype))
+        h4 = key(f"{pre}.mlp.dense_h_to_4h.weight")
+        layers["gate_proj"].append(h4[:ffn].T.astype(dtype))
+        layers["up_proj"].append(h4[ffn:].T.astype(dtype))
+        layers["down_proj"].append(key(f"{pre}.mlp.dense_4h_to_h.weight").T.astype(dtype))
+        layers["attn_norm"].append(key(f"{pre}.input_layernorm.weight").astype(dtype))
+        layers["mlp_norm"].append(key(f"{pre}.post_attention_layernorm.weight").astype(dtype))
+
+    return {
+        "embed": key("embedding.word_embeddings.weight").astype(dtype),
+        "layers": {n: np.stack(v) for n, v in layers.items()},
+        "final_norm": key("encoder.final_layernorm.weight").astype(dtype),
+        "lm_head": key("output_layer.weight").T.astype(dtype),
+    }

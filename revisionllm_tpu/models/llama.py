@@ -35,7 +35,7 @@ from revisionllm_tpu.config import LlamaConfig
 from revisionllm_tpu.ops.flash_attention import attention, mha_reference, trainable_attention
 from revisionllm_tpu.ops.norms import rms_norm
 from revisionllm_tpu.ops.quant import q8_apply
-from revisionllm_tpu.ops.rope import apply_rope, rope_angles
+from revisionllm_tpu.ops.rope import apply_rope, apply_rope_interleaved, rope_angles
 
 Params = Dict[str, Any]
 
@@ -74,6 +74,10 @@ def init_params(cfg: LlamaConfig, key: jax.Array, dtype=None) -> Params:
         ).astype(dtype)
     layers["attn_norm"] = jnp.ones((L, cfg.hidden_size), dtype)
     layers["mlp_norm"] = jnp.ones((L, cfg.hidden_size), dtype)
+    if cfg.qkv_bias:
+        layers["q_bias"] = jnp.zeros((L, dims["q_out"]), dtype)
+        layers["k_bias"] = jnp.zeros((L, dims["kv_out"]), dtype)
+        layers["v_bias"] = jnp.zeros((L, dims["kv_out"]), dtype)
 
     return {
         "embed": (
@@ -103,6 +107,16 @@ def _lora_apply(x, w, lora_layer, scale):
     return y
 
 
+def _rotary_dim(cfg: LlamaConfig) -> int:
+    return int(cfg.head_dim * cfg.rope_fraction)
+
+
+def _rope(cfg: LlamaConfig, x, cos, sin):
+    if cfg.rope_interleaved or cfg.rope_fraction < 1.0:
+        return apply_rope_interleaved(x, cos, sin, _rotary_dim(cfg))
+    return apply_rope(x, cos, sin)
+
+
 def _attention_block(
     cfg: LlamaConfig,
     lp: Params,
@@ -124,8 +138,12 @@ def _attention_block(
     q = proj("q_proj").reshape(B, T, H, hd)
     k = proj("k_proj").reshape(B, T, KH, hd)
     v = proj("v_proj").reshape(B, T, KH, hd)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    if cfg.qkv_bias:
+        q = q + lp["q_bias"].reshape(H, hd)
+        k = k + lp["k_bias"].reshape(KH, hd)
+        v = v + lp["v_bias"].reshape(KH, hd)
+    q = _rope(cfg, q, cos, sin)
+    k = _rope(cfg, k, cos, sin)
     if trainable:
         # custom-VJP kernels: the backward also runs blockwise on the MXU
         o = trainable_attention(q, k, v, causal=True, kv_lens=kv_lens, use_pallas=use_pallas)
@@ -163,7 +181,7 @@ def forward_hidden(
     Returns final hidden [B, T, D]; with return_kv=True also the per-layer
     (k, v) stacks [L, B, T, KH, hd] for cache prefill.
     """
-    cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_angles(positions, _rotary_dim(cfg), cfg.rope_theta)
 
     def layer(carry, xs):
         x = carry
@@ -269,7 +287,7 @@ def decode_step(
     H, KH, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     S = cache["k"].shape[2]
     positions = cache_lens[:, None]  # [B, 1]
-    cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_angles(positions, _rotary_dim(cfg), cfg.rope_theta)
 
     col = jnp.arange(S)[None, :]  # [1, S]
     attn_mask = col <= cache_lens[:, None]  # [B, S]; includes the new token slot
@@ -281,8 +299,12 @@ def decode_step(
         q = q8_apply(h, lp["q_proj"]).reshape(B, 1, H, hd)
         k = q8_apply(h, lp["k_proj"]).reshape(B, 1, KH, hd)
         v = q8_apply(h, lp["v_proj"]).reshape(B, 1, KH, hd)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        if cfg.qkv_bias:
+            q = q + lp["q_bias"].reshape(H, hd)
+            k = k + lp["k_bias"].reshape(KH, hd)
+            v = v + lp["v_bias"].reshape(KH, hd)
+        q = _rope(cfg, q, cos, sin)
+        k = _rope(cfg, k, cos, sin)
 
         # scatter new k/v at per-row position cache_lens[i]
         onehot = (col == cache_lens[:, None]).astype(ck.dtype)  # [B, S]

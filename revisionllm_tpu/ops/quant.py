@@ -129,16 +129,24 @@ def int8_matmul(
 
 
 def q8_apply(
-    x: jnp.ndarray, w, use_pallas: Optional[bool] = None
+    x: jnp.ndarray, w, use_pallas: Optional[bool] = None,
+    pallas_max_m: int = 256,
 ) -> jnp.ndarray:
     """Matmul dispatch: w is either a dense array or a {'q8', 'scale'} dict.
 
-    On non-TPU backends (tests) the int8 path dequantizes and uses jnp."""
+    Small-M (decode) calls are HBM-bound — the Pallas kernel streams int8 and
+    converts in VMEM. Large-M (prefill/training) calls are MXU-bound — the
+    XLA convert+dot path is equally fast there and avoids extra Mosaic kernel
+    compiles (remote compile costs ~minutes per kernel shape on axon).
+    On non-TPU backends (tests) the int8 path always dequantizes via jnp."""
     if not (isinstance(w, dict) and "q8" in w):
         return x @ w
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu", "gpu")
-    if use_pallas:
+    M = 1
+    for d in x.shape[:-1]:
+        M *= d
+    if use_pallas and M <= pallas_max_m:
         return int8_matmul(x, w["q8"], w["scale"])
     return x @ dequantize_int8(w["q8"], w["scale"], x.dtype)
 

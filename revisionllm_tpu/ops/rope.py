@@ -22,6 +22,26 @@ def rope_angles(positions: jnp.ndarray, head_dim: int, theta: float = 10000.0):
     return jnp.cos(ang), jnp.sin(ang)
 
 
+def apply_rope_interleaved(
+    x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray, rotary_dim: int
+) -> jnp.ndarray:
+    """ChatGLM2-style rotary: only the first `rotary_dim` head dims rotate,
+    in interleaved (even, odd) pairs; the tail passes through unchanged
+    (reference model/chatglm/modeling_chatglm.py RotaryEmbedding +
+    apply_rotary_pos_emb)."""
+    orig_dtype = x.dtype
+    rot = x[..., :rotary_dim].astype(jnp.float32)
+    rest = x[..., rotary_dim:]
+    x1 = rot[..., 0::2]
+    x2 = rot[..., 1::2]
+    c = cos[..., None, : rotary_dim // 2]
+    s = sin[..., None, : rotary_dim // 2]
+    r1 = x1 * c - x2 * s
+    r2 = x2 * c + x1 * s
+    rotated = jnp.stack([r1, r2], axis=-1).reshape(rot.shape).astype(orig_dtype)
+    return jnp.concatenate([rotated, rest], axis=-1)
+
+
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
     """Rotate q/k. x: [..., T, H, head_dim]; cos/sin: [..., T, hd/2].
 
