@@ -306,10 +306,11 @@ def decode_step(
         q = _rope(cfg, q, cos, sin)
         k = _rope(cfg, k, cos, sin)
 
-        # scatter new k/v at per-row position cache_lens[i]
-        onehot = (col == cache_lens[:, None]).astype(ck.dtype)  # [B, S]
-        ck = ck + onehot[:, :, None, None] * k.astype(ck.dtype)
-        cv = cv + onehot[:, :, None, None] * v.astype(cv.dtype)
+        # scatter new k/v at per-row position cache_lens[i]; a select (not an
+        # add) because right-padded rows leave stale prefill k/v in the slot
+        write = (col == cache_lens[:, None])[:, :, None, None]  # [B, S, 1, 1]
+        ck = jnp.where(write, jnp.broadcast_to(k.astype(ck.dtype), ck.shape), ck)
+        cv = jnp.where(write, jnp.broadcast_to(v.astype(cv.dtype), cv.shape), cv)
 
         # q [B,1,H,hd] x cache [B,S,KH,hd]
         group = H // KH

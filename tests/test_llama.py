@@ -113,3 +113,34 @@ class TestDecodeParity:
         )
         want = llama.logits_from_hidden(params, h)[0, -1]
         np.testing.assert_allclose(np.asarray(logits[0]), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+class TestRaggedDecode:
+    def test_ragged_batch_decode_matches_per_row(self, setup):
+        """Right-padded rows must decode exactly as if run alone — catches the
+        stale-prefill-kv-slot bug (decode writes must replace, not add)."""
+        cfg, params = setup
+        rng = np.random.default_rng(5)
+        lens = [4, 8]
+        T = max(lens)
+        ids = jnp.asarray(rng.integers(3, cfg.vocab_size, size=(2, T)))
+        pos = jnp.broadcast_to(jnp.arange(T), (2, T))
+        kv_lens = jnp.asarray(lens, jnp.int32)
+
+        from revisionllm_tpu.models import generation
+
+        out = generation.generate(
+            cfg, params, llama.embed_tokens(params, ids), pos, kv_lens,
+            eos_id=2, max_new_tokens=5,
+        )
+
+        # row 0 alone, unpadded
+        ids0 = ids[:1, : lens[0]]
+        out0 = generation.generate(
+            cfg, params, llama.embed_tokens(params, ids0),
+            pos[:1, : lens[0]], jnp.asarray([lens[0]], jnp.int32),
+            eos_id=2, max_new_tokens=5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["tokens"][0]), np.asarray(out0["tokens"][0])
+        )
