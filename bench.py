@@ -59,13 +59,21 @@ def main():
     )
     dtype = jnp.dtype(cfg.dtype)
 
-    params = _zeros_params(cfg, dtype)
     if use_int8:
         # serving config for 16 GB v5e: int8 weights halve HBM footprint and
-        # the weight-streaming time of the memory-bound decode
+        # the weight-streaming time of the memory-bound decode. Built directly
+        # as int8 zeros — eagerly quantizing a live bf16 7B tree would hold
+        # both copies (~20 GB) on device.
+        from revisionllm_tpu.models import llama as llama_mod
         from revisionllm_tpu.ops.quant import quantize_llama_params
 
-        params = quantize_llama_params(params)
+        shapes = jax.eval_shape(
+            lambda k: quantize_llama_params(llama_mod.init_params(cfg, k, dtype)),
+            jax.random.PRNGKey(0),
+        )
+        params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    else:
+        params = _zeros_params(cfg, dtype)
     vision = revisionllm.init_vision_params(
         adapter_cfg, jax.random.PRNGKey(1), dtype=dtype
     )

@@ -48,19 +48,27 @@ def generate(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    cache = llama.init_kv_cache(cfg, B, L + G, dtype=embeds.dtype)
-    first_logits, cache = llama.prefill(
-        cfg, params, embeds, positions, cache, kv_lens=prompt_lens,
+    prompt_lens = prompt_lens.astype(jnp.int32)
+    first_logits, prompt_kv = llama.prefill_kv(
+        cfg, params, embeds, positions, kv_lens=prompt_lens,
         use_pallas=use_pallas,
     )
+    gen_cache = {
+        "k": jnp.zeros(
+            (cfg.num_layers, B, G, cfg.num_kv_heads, cfg.head_dim), embeds.dtype
+        ),
+        "v": jnp.zeros(
+            (cfg.num_layers, B, G, cfg.num_kv_heads, cfg.head_dim), embeds.dtype
+        ),
+    }
 
     def select_token(logits, step_rng):
         if temperature > 0.0:
             return jax.random.categorical(step_rng, logits / temperature, axis=-1)
         return jnp.argmax(logits, axis=-1)
 
-    def step(carry, _):
-        cache, cache_lens, logits, done, rng = carry
+    def step(carry, g):
+        gen_cache, logits, done, rng = carry
         rng, sub = jax.random.split(rng)
         logits32 = logits.astype(jnp.float32)
         probs = jax.nn.softmax(logits32, axis=-1)
@@ -73,22 +81,19 @@ def generate(
         token_out = jnp.where(valid, token, eos_id)
 
         tok_embed = llama.embed_tokens(params, token_out[:, None])
-        next_logits, cache = llama.decode_step(
-            cfg, params, cache, cache_lens, tok_embed.astype(embeds.dtype)
+        next_logits, gen_cache = llama.decode_step_split(
+            cfg, params, prompt_kv, prompt_lens, gen_cache, g,
+            tok_embed.astype(embeds.dtype),
         )
         done = jnp.logical_or(done, token_out == eos_id)
-        return (cache, cache_lens + 1, next_logits, done, rng), (
+        return (gen_cache, next_logits, done, rng), (
             token_out, entropy, logprob, valid,
         )
 
-    init = (
-        cache,
-        prompt_lens.astype(jnp.int32),
-        first_logits,
-        jnp.zeros((B,), dtype=bool),
-        rng,
+    init = (gen_cache, first_logits, jnp.zeros((B,), dtype=bool), rng)
+    _, (tokens, entropy, logprob, valid) = jax.lax.scan(
+        step, init, jnp.arange(G, dtype=jnp.int32)
     )
-    _, (tokens, entropy, logprob, valid) = jax.lax.scan(step, init, None, length=G)
 
     return {
         "tokens": jnp.swapaxes(tokens, 0, 1),     # [B, G]

@@ -332,3 +332,106 @@ def decode_step(
     )
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     return logits_from_hidden(params, hidden[:, 0]), {"k": new_k, "v": new_v}
+
+
+def prefill_kv(
+    cfg: LlamaConfig,
+    params: Params,
+    embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    kv_lens: Optional[jnp.ndarray] = None,
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+    use_pallas: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, Params]:
+    """Prefill without a preallocated cache: returns (last-position logits,
+    read-only prompt kv {"k","v"} [L, B, T, KH, hd])."""
+    hidden, (k, v) = forward_hidden(
+        cfg, params, embeds, positions, kv_lens, lora, lora_scale, use_pallas,
+        return_kv=True,
+    )
+    if kv_lens is None:
+        last = hidden[:, -1]
+    else:
+        idx = jnp.maximum(kv_lens - 1, 0)
+        last = jnp.take_along_axis(hidden, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    return logits_from_hidden(params, last), {"k": k, "v": v}
+
+
+def decode_step_split(
+    cfg: LlamaConfig,
+    params: Params,
+    prompt_kv: Params,
+    prompt_lens: jnp.ndarray,
+    gen_cache: Params,
+    step: jnp.ndarray,
+    token_embeds: jnp.ndarray,
+) -> Tuple[jnp.ndarray, Params]:
+    """One decode step with a split KV layout.
+
+    prompt_kv [L, B, S, KH, hd] stays read-only after prefill (no per-step
+    rewrite of the big cache — the classic decode_step copied it twice per
+    step); new tokens land in the tiny gen_cache [L, B, G, KH, hd] at slot
+    `step` (lockstep across rows, so the write is one dynamic_update_slice).
+    Softmax over [prompt | generated] uses a two-piece max-merged softmax.
+    """
+    B = token_embeds.shape[0]
+    H, KH, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    S = prompt_kv["k"].shape[2]
+    G = gen_cache["k"].shape[2]
+    group = H // KH
+
+    positions = (prompt_lens + step)[:, None]  # [B, 1]
+    cos, sin = rope_angles(positions, _rotary_dim(cfg), cfg.rope_theta)
+
+    prompt_mask = jnp.arange(S)[None, :] < prompt_lens[:, None]   # [B, S]
+    gen_mask = jnp.arange(G)[None, :] <= step                     # [1->B, G]
+    gen_mask = jnp.broadcast_to(gen_mask, (B, G))
+
+    def layer(x, xs):
+        lp, pk, pv, gk, gv = xs
+        h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+        q = q8_apply(h, lp["q_proj"]).reshape(B, 1, H, hd)
+        k = q8_apply(h, lp["k_proj"]).reshape(B, 1, KH, hd)
+        v = q8_apply(h, lp["v_proj"]).reshape(B, 1, KH, hd)
+        if cfg.qkv_bias:
+            q = q + lp["q_bias"].reshape(H, hd)
+            k = k + lp["k_bias"].reshape(KH, hd)
+            v = v + lp["v_bias"].reshape(KH, hd)
+        q = _rope(cfg, q, cos, sin)
+        k = _rope(cfg, k, cos, sin)
+
+        gk = jax.lax.dynamic_update_slice(gk, k.astype(gk.dtype), (0, step, 0, 0))
+        gv = jax.lax.dynamic_update_slice(gv, v.astype(gv.dtype), (0, step, 0, 0))
+
+        qg = q.reshape(B, 1, KH, group, hd).astype(jnp.float32)
+        scale = hd ** -0.5
+
+        s1 = jnp.einsum("bokgd,bskd->bkgs", qg, pk.astype(jnp.float32)) * scale
+        s1 = jnp.where(prompt_mask[:, None, None, :], s1, -2.0e30)
+        s2 = jnp.einsum("bokgd,bskd->bkgs", qg, gk.astype(jnp.float32)) * scale
+        s2 = jnp.where(gen_mask[:, None, None, :], s2, -2.0e30)
+
+        m = jnp.maximum(
+            jnp.max(s1, axis=-1, keepdims=True), jnp.max(s2, axis=-1, keepdims=True)
+        )
+        p1 = jnp.exp(s1 - m)
+        p2 = jnp.exp(s2 - m)
+        denom = jnp.sum(p1, axis=-1, keepdims=True) + jnp.sum(p2, axis=-1, keepdims=True)
+        o = (
+            jnp.einsum("bkgs,bskd->bkgd", p1, pv.astype(jnp.float32))
+            + jnp.einsum("bkgs,bskd->bkgd", p2, gv.astype(jnp.float32))
+        ) / denom
+        o = o.reshape(B, 1, H * hd).astype(x.dtype)
+        x = x + q8_apply(o, lp["o_proj"])
+        h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+        x = x + _mlp_block(lp, None, 0.0, h)
+        return x, (gk, gv)
+
+    hidden, (new_gk, new_gv) = jax.lax.scan(
+        layer,
+        token_embeds,
+        (params["layers"], prompt_kv["k"], prompt_kv["v"], gen_cache["k"], gen_cache["v"]),
+    )
+    hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+    return logits_from_hidden(params, hidden[:, 0]), {"k": new_gk, "v": new_gv}
