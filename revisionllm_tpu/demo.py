@@ -59,16 +59,11 @@ class ChatSession:
     def ask(self, question: str) -> str:
         if not self.history:
             question = "<video>\n" + question
-        # multi-turn: build full conversation prompt
-        msgs = []
-        first = True
-        for q, a in self.history:
-            msgs.append((CONV_VICUNA_V1.roles[0], q))
-            msgs.append((CONV_VICUNA_V1.roles[1], a))
         answer, _ = inference(
             self.llama_cfg, self.adapter_cfg, self.params, self.vision,
             self.tokenizer, self.features[None], question,
             max_new_tokens=self.max_new_tokens,
+            history=self.history,
         )
         self.history.append((question, answer))
         return answer

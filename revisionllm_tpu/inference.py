@@ -40,15 +40,25 @@ def inference(
     max_new_tokens: int = 64,
     temperature: float = 0.0,
     return_list: bool = False,
+    history: Optional[List[Tuple[str, str]]] = None,
 ) -> Tuple[Union[str, List[str]], Dict[str, Any]]:
     """image: [B, T, d] window batch (or [B, V, T, d] hierarchy).
 
-    Returns (answers, raw output dict). answers is a string when B == 1 and
-    return_list is False (parity: inference.py:73-75).
+    `history` is a list of prior (user, assistant) turns for multi-turn chat
+    (the demo path, reference demo_gradio.py:120-148). Returns (answers, raw
+    output dict). answers is a string when B == 1 and return_list is False
+    (parity: inference.py:73-75).
     """
     if visual_memory is not None:
         query = query + "<memory>"
-    prompt = CONV_VICUNA_V1.user_turn_prompt(query)
+    conv = CONV_VICUNA_V1
+    msgs: List[Tuple[str, Optional[str]]] = []
+    for u, a in history or []:
+        msgs.append((conv.roles[0], u))
+        msgs.append((conv.roles[1], a))
+    msgs.append((conv.roles[0], query))
+    msgs.append((conv.roles[1], None))
+    prompt = conv.prompt(msgs)
     ids = tokenizer_image_token(prompt, tokenizer)
 
     B = image.shape[0]
