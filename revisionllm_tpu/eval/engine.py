@@ -160,20 +160,20 @@ class GroundingEngine:
 
         answers: List[str] = []
         scores_entropy: List[float] = []
+        plan = build_splice_plan(
+            ids, ecfg.num_frames, len(ids) - 1 + ecfg.num_frames + ecfg.max_new_tokens
+        )
+        plan_np = stack_plans([plan] * chunk)
+        qf = qv = None
+        if query_feats is not None:
+            qf = np.repeat(query_feats[None], chunk, axis=0)
+            qv = np.ones(qf.shape[:2], dtype=bool)
         for start in range(0, n, chunk):
             end = min(start + chunk, n)
             feats = windows[start:end]
             if len(feats) < chunk:  # pad the tail chunk to the compiled shape
                 pad = np.repeat(feats[-1:], chunk - len(feats), axis=0)
                 feats = np.concatenate([feats, pad], axis=0)
-            plan = build_splice_plan(
-                ids, ecfg.num_frames, len(ids) - 1 + ecfg.num_frames + ecfg.max_new_tokens
-            )
-            plan_np = stack_plans([plan] * chunk)
-            qf = qv = None
-            if query_feats is not None:
-                qf = np.repeat(query_feats[None], chunk, axis=0)
-                qv = np.ones(qf.shape[:2], dtype=bool)
             res = self._run_chunk(plan_np, feats, qf, qv)
             answers.extend(res.answers[: end - start])
             col = 0 if ecfg.score == "max_entropy" else 2
