@@ -116,3 +116,37 @@ class TestQuantizedLlama:
         np.testing.assert_allclose(
             np.asarray(logits2), np.asarray(full_logits[:, P]), rtol=1e-4, atol=1e-4
         )
+
+
+class TestW8A8:
+    def test_w8a8_close_to_fp(self):
+        from revisionllm_tpu.ops.quant import w8a8_matmul
+
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(32, 128)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(128, 64)).astype(np.float32))
+        q, s = quantize_int8(w)
+        got = np.asarray(w8a8_matmul(x, q, s))
+        want = np.asarray(x @ w)
+        # two int8 quantizations: ~1-2% relative error on random gaussians
+        rel = np.abs(got - want) / (np.abs(want) + 1.0)
+        assert rel.mean() < 0.02
+
+    def test_w8a8_batched(self):
+        from revisionllm_tpu.ops.quant import w8a8_matmul
+
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.normal(size=(2, 5, 64)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+        q, s = quantize_int8(w)
+        out = w8a8_matmul(x, q, s)
+        assert out.shape == (2, 5, 32)
+
+    def test_zero_rows_safe(self):
+        from revisionllm_tpu.ops.quant import w8a8_matmul
+
+        x = jnp.zeros((4, 16))
+        w = jnp.ones((16, 8))
+        q, s = quantize_int8(w)
+        out = np.asarray(w8a8_matmul(x, q, s))
+        np.testing.assert_allclose(out, 0.0)
