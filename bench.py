@@ -45,7 +45,7 @@ def main():
     from __graft_entry__ import _zeros_params
 
     n_layers = int(os.environ.get("BENCH_LAYERS", "32"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "8"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "32"))
     use_int8 = os.environ.get("BENCH_INT8", "1") == "1"
     windows_per_query = 57           # 1 h x 5 fps, 125 s windows, 50% overlap
     num_frames = 250

@@ -238,6 +238,49 @@ class GroundingEngine:
             "num_windows": n,
         }
 
+    def caption_windows(
+        self,
+        features: np.ndarray,
+        prompt: Optional[str] = None,
+    ) -> Dict[str, Any]:
+        """Dense captioning per window (the 'captioning' task of reference
+        eval_nlq_negative.py:265-268 with the JSON-event prompt). Caption
+        length is eval_cfg.max_new_tokens — raise it for this task."""
+        ecfg = self.eval_cfg
+        if prompt is None:
+            prompt = (
+                "Could you please describe the events in the video in detail? "
+                "Be specific about the activities of individuals, their "
+                "surroundings, and interactions with others. The output should "
+                'be in JSON format, structured as follows: {"event": "xx", '
+                '"timestamps": "from xx to xx"}.'
+            )
+        clip_length = int(ecfg.debug_window * ecfg.feature_fps)
+        bounds = W.dense_window_bounds(len(features), clip_length)
+        if not bounds:
+            return {"answers": []}
+        plan_idx = W.window_frame_indices(bounds, ecfg.num_frames)
+        windows = features[plan_idx]
+
+        full = CONV_VICUNA_V1.user_turn_prompt("<video>\n " + prompt)
+        ids = tokenizer_image_token(full, self.tokenizer)
+        chunk = max(ecfg.batch, 1)
+        plan = build_splice_plan(
+            ids, ecfg.num_frames, len(ids) - 1 + ecfg.num_frames + ecfg.max_new_tokens
+        )
+        plan_np = stack_plans([plan] * chunk)
+        answers: List[str] = []
+        for start in range(0, len(bounds), chunk):
+            end = min(start + chunk, len(bounds))
+            feats = windows[start:end]
+            if len(feats) < chunk:
+                feats = np.concatenate(
+                    [feats, np.repeat(feats[-1:], chunk - len(feats), axis=0)], 0
+                )
+            res = self._run_chunk(plan_np, feats, None, None)
+            answers.extend(res.answers[: end - start])
+        return {"answers": answers}
+
     # ---------------------------------------------------------------- stage 2
 
     def retrieve(

@@ -114,6 +114,14 @@ def run(args, engine: GroundingEngine) -> Dict[str, int]:
             if q_store is not None:
                 query_feats, query_cls = q_store.get(qid)
 
+            if getattr(args, "task", "grounding") in ("captioning", "all"):
+                # dense captioning per window (reference eval_nlq_negative.py:265-268)
+                cap_res = engine.caption_windows(features)
+                M.write_log(prediction_path, movie, "captioning", qid, cap_res["answers"])
+                if getattr(args, "task", "grounding") == "captioning":
+                    n_done += 1
+                    continue
+
             sentence = (
                 data["sentence"].strip().lower()
                 if "sentence" in data

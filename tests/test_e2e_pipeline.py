@@ -171,3 +171,13 @@ class TestFusionCLI:
         ])
         assert metrics["mIoU"] == pytest.approx(80.0)
         assert os.path.isfile(g / "result_retrieval.txt")
+
+
+class TestCaptioning:
+    def test_caption_windows(self, tiny_engine, eval_data):
+        import numpy as np
+
+        feats = np.load(str(eval_data / "m1.npy"))
+        out = tiny_engine.caption_windows(feats)
+        assert len(out["answers"]) == 19
+        assert all(isinstance(a, str) for a in out["answers"])
