@@ -24,6 +24,18 @@ import jax.numpy as jnp
 from revisionllm_tpu.config import LlamaConfig
 from revisionllm_tpu.models import llama
 
+_KV8 = None
+
+
+def _kv8_enabled() -> bool:
+    """Opt-in int8 prompt-KV cache (REVISIONLLM_KV8=1)."""
+    global _KV8
+    if _KV8 is None:
+        import os
+
+        _KV8 = os.environ.get("REVISIONLLM_KV8", "0") == "1"
+    return _KV8
+
 
 def generate(
     cfg: LlamaConfig,
@@ -53,6 +65,8 @@ def generate(
         cfg, params, embeds, positions, kv_lens=prompt_lens,
         use_pallas=use_pallas,
     )
+    if _kv8_enabled():
+        prompt_kv = llama.quantize_prompt_kv(prompt_kv)
     gen_cache = {
         "k": jnp.zeros(
             (cfg.num_layers, B, G, cfg.num_kv_heads, cfg.head_dim), embeds.dtype

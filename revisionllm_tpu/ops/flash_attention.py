@@ -324,9 +324,10 @@ def _flash_fwd_lse_kernel(
         l = l_scratch[:, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0, ...] = (acc_scratch[...] / l_safe).astype(o_ref.dtype)
-        # fully-masked rows get +inf LSE so the backward's exp() gives 0
+        # fully-masked rows get +inf LSE so the backward's exp() gives 0;
+        # stored lane-replicated [bq, 128] (Mosaic requires 8x128 tiles)
         lse = jnp.where(l > 0.0, m + jnp.log(l), -NEG_INF)
-        lse_ref[0, 0, :] = lse[:, 0]
+        lse_ref[0, 0, ...] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def _flash_dq_kernel(
@@ -360,13 +361,13 @@ def _flash_dq_kernel(
         if causal:
             row_ids = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             mask = jnp.logical_and(mask, row_ids >= col_ids)
-        lse = lse_ref[0, 0, :][:, None]
+        lse = lse_ref[0, 0, :, :1]
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(
             do_ref[0, 0], v_ref[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        delta = delta_ref[0, 0, :][:, None]
+        delta = delta_ref[0, 0, :, :1]
         ds = p * (dp - delta) * sm_scale
         dq_scratch[...] += jax.lax.dot_general(
             ds.astype(k_ref.dtype), k_ref[0, 0], (((1,), (0,)), ((), ())),
@@ -411,7 +412,7 @@ def _flash_dkv_kernel(
         if causal:
             row_ids = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             mask = jnp.logical_and(mask, row_ids >= col_ids)
-        lse = lse_ref[0, 0, :][:, None]
+        lse = lse_ref[0, 0, :, :1]
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         # dv += p^T dO
         dv_scratch[...] += jax.lax.dot_general(
@@ -422,7 +423,7 @@ def _flash_dkv_kernel(
             do_ref[0, 0], v_ref[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        delta = delta_ref[0, 0, :][:, None]
+        delta = delta_ref[0, 0, :, :1]
         ds = p * (dp - delta) * sm_scale
         # dk += ds^T q
         dk_scratch[...] += jax.lax.dot_general(
@@ -490,7 +491,7 @@ def make_flash_mha(
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, bq, d), lambda b, h, iq, ik, kv: (b, h, iq, 0)),
-                pl.BlockSpec((1, 1, bq), lambda b, h, iq, ik, kv: (b, h, iq)),
+                pl.BlockSpec((1, 1, bq, 128), lambda b, h, iq, ik, kv: (b, h, iq, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((bq, 128), jnp.float32),
@@ -506,7 +507,7 @@ def make_flash_mha(
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((B, H, Tp, d), q.dtype),
-                jax.ShapeDtypeStruct((B, H, Tp), jnp.float32),
+                jax.ShapeDtypeStruct((B, H, Tp, 128), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -522,7 +523,8 @@ def make_flash_mha(
         nq, nk = Tp // bq, Tp // bk
         gt = jnp.swapaxes(g, 1, 2)
         gt = _pad_bhtd(gt, Tp - T0)
-        delta = jnp.sum(gt.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [B,H,Tp]
+        delta = jnp.sum(gt.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+        delta = jnp.broadcast_to(delta[..., None], (B, H, Tp, 128))  # lane-replicated
 
         common_inputs = (kv_lens, qt, kt, vt, gt, lse, delta)
         in_specs = [
@@ -530,8 +532,8 @@ def make_flash_mha(
             pl.BlockSpec((1, 1, bk, d), lambda b, h, iq, ik, kv: (b, h, ik, 0)),   # k
             pl.BlockSpec((1, 1, bk, d), lambda b, h, iq, ik, kv: (b, h, ik, 0)),   # v
             pl.BlockSpec((1, 1, bq, d), lambda b, h, iq, ik, kv: (b, h, iq, 0)),   # do
-            pl.BlockSpec((1, 1, bq), lambda b, h, iq, ik, kv: (b, h, iq)),         # lse
-            pl.BlockSpec((1, 1, bq), lambda b, h, iq, ik, kv: (b, h, iq)),         # delta
+            pl.BlockSpec((1, 1, bq, 128), lambda b, h, iq, ik, kv: (b, h, iq, 0)),  # lse
+            pl.BlockSpec((1, 1, bq, 128), lambda b, h, iq, ik, kv: (b, h, iq, 0)),  # delta
         ]
         dq = pl.pallas_call(
             functools.partial(
@@ -557,8 +559,8 @@ def make_flash_mha(
             pl.BlockSpec((1, 1, bk, d), lambda b, h, ik, iq, kv: (b, h, ik, 0)),   # k
             pl.BlockSpec((1, 1, bk, d), lambda b, h, ik, iq, kv: (b, h, ik, 0)),   # v
             pl.BlockSpec((1, 1, bq, d), lambda b, h, ik, iq, kv: (b, h, iq, 0)),   # do
-            pl.BlockSpec((1, 1, bq), lambda b, h, ik, iq, kv: (b, h, iq)),         # lse
-            pl.BlockSpec((1, 1, bq), lambda b, h, ik, iq, kv: (b, h, iq)),         # delta
+            pl.BlockSpec((1, 1, bq, 128), lambda b, h, ik, iq, kv: (b, h, iq, 0)),  # lse
+            pl.BlockSpec((1, 1, bq, 128), lambda b, h, ik, iq, kv: (b, h, iq, 0)),  # delta
         ]
         dk, dv = pl.pallas_call(
             functools.partial(

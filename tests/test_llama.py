@@ -144,3 +144,31 @@ class TestRaggedDecode:
         np.testing.assert_array_equal(
             np.asarray(out["tokens"][0]), np.asarray(out0["tokens"][0])
         )
+
+
+class TestKv8Decode:
+    def test_quantized_prompt_kv_close(self, setup):
+        """Int8 prompt KV decode stays close to the bf16 path (greedy tokens
+        may differ at ties; compare the first-step logits numerically)."""
+        cfg, params = setup
+        from revisionllm_tpu.models import llama as L
+
+        B, P = 2, 10
+        rng = np.random.default_rng(9)
+        ids = jnp.asarray(rng.integers(3, cfg.vocab_size, size=(B, P)))
+        pos = jnp.broadcast_to(jnp.arange(P), (B, P))
+        lens = jnp.full((B,), P, jnp.int32)
+        _, prompt_kv = L.prefill_kv(cfg, params, L.embed_tokens(params, ids), pos, kv_lens=lens)
+
+        gen = {
+            "k": jnp.zeros((cfg.num_layers, B, 4, cfg.num_kv_heads, cfg.head_dim)),
+            "v": jnp.zeros((cfg.num_layers, B, 4, cfg.num_kv_heads, cfg.head_dim)),
+        }
+        tok = L.embed_tokens(params, ids[:, :1])
+        logits_fp, _ = L.decode_step_split(cfg, params, prompt_kv, lens, gen, jnp.int32(0), tok)
+        qkv = L.quantize_prompt_kv(prompt_kv)
+        logits_q8, _ = L.decode_step_split(cfg, params, qkv, lens, gen, jnp.int32(0), tok)
+        err = np.abs(np.asarray(logits_fp) - np.asarray(logits_q8))
+        scale = np.abs(np.asarray(logits_fp)).mean() + 1e-6
+        assert err.mean() / scale < 0.05
+        assert (np.argmax(np.asarray(logits_fp), -1) == np.argmax(np.asarray(logits_q8), -1)).mean() >= 0.5
