@@ -190,6 +190,11 @@ def main(argv=None):
         print(f"resumed from {latest} at step {start_step}", file=sys.stderr)
 
     # --- loop ---
+    # commit arrays to their devices before the first step: jit caches on
+    # shardings, and letting the first call commit them costs a second
+    # compile (measured 26 s on the 7B geometry)
+    trainable = jax.device_put(trainable)
+    opt_state = jax.device_put(opt_state)
     rng = jax.random.PRNGKey(args.seed + 3)
     order = rng_np.permutation(len(dataset))
     t_last = time.time()
