@@ -284,9 +284,26 @@ def _preset_chapters_stage2() -> WorkloadConfig:
     )
 
 
+def _preset_stage1_stream() -> WorkloadConfig:
+    """Streaming-memory training: paired clips, pooled clip1 memory injected
+    into clip2 at the <memory> sentinel (reference stream flags:
+    dataset.py:46 `stream`, train.py:104-105 memory_type/stream_loss;
+    the mlp projector is the memory-compatible adapter)."""
+    return WorkloadConfig(
+        name="stage1_stream",
+        adapter=AdapterConfig(kind="mlp", hierarchy=False),
+        data=DataConfig(num_frames=250, debug_window=125, stream=True),
+        train=TrainConfig(
+            training_stage=2, per_device_batch_size=8, num_epochs=2,
+            memory_type="mean_pool", stream_loss="single",
+        ),
+    )
+
+
 PRESETS = {
     "stage1_dense": _preset_stage1_dense,
     "stage1_sparse": _preset_stage1_sparse,
+    "stage1_stream": _preset_stage1_stream,
     "stage2_long_33": lambda: _preset_stage2_long(33),
     "stage2_long_100": lambda: _preset_stage2_long(100),
     "chapters_stage2_100": _preset_chapters_stage2,

@@ -158,10 +158,13 @@ def main(argv=None):
         args.data_path, tokenizer, data_cfg, rng=rng_np,
         model_max_length=train_cfg.model_max_length,
     )
+    prefix_len = 24
+    mem_tokens = 5 if train_cfg.memory_type in ("gt_multi", "multi_pool") else 1
     collator = Collator(
         max_len=train_cfg.model_max_length,
         num_video_tokens=0,
         max_q_len=data_cfg.max_q_l,
+        num_memory_tokens=(prefix_len + mem_tokens) if data_cfg.stream else 0,
     )
 
     global_batch = train_cfg.per_device_batch_size * args.dp * args.fsdp
@@ -175,7 +178,7 @@ def main(argv=None):
     base = shard_lib.shard_params(mesh, base, base_specs)
 
     step_fn = trainer_lib.make_sharded_train_step(
-        llama_cfg, adapter_cfg, train_cfg, optimizer, mesh
+        llama_cfg, adapter_cfg, train_cfg, optimizer, mesh, stream=data_cfg.stream
     )
 
     # --- resume (reference train.py:394-397) ---
@@ -206,6 +209,27 @@ def main(argv=None):
             ]
             batch_np = collator([dataset[i] for i in idx])
             batch_np.pop("iteration_step", None)
+            if data_cfg.stream:
+                # streaming-memory batch: flatten clip2 + build visual memory
+                # (reference vtimellm_trainer.compute_loss :72-121)
+                from revisionllm_tpu.data.stream import (
+                    build_prefix_ids, build_visual_memory,
+                )
+
+                clip2 = batch_np.pop("clip2")
+                neg = batch_np.pop("neg")
+                clip2.pop("neg", None)
+                sef = batch_np.get(
+                    "start_end_frame",
+                    np.zeros((len(idx), 2), np.int32),
+                )
+                batch_np["visual_memory"] = build_visual_memory(
+                    batch_np["images"], sef, neg, train_cfg.memory_type, rng_np
+                )
+                batch_np["prefix_ids"] = build_prefix_ids(neg, tokenizer, prefix_len)
+                for k, v in clip2.items():
+                    if k not in ("start_end_frame", "query_feats", "query_valid"):
+                        batch_np[f"c2_{k}"] = v
             batch_np.pop("start_end_frame", None)
             batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
             rng, sub = jax.random.split(rng)
