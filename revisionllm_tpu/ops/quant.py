@@ -74,7 +74,7 @@ def int8_matmul(
     *,
     block_m: int = 256,
     block_n: int = 512,
-    block_k: int = 512,
+    block_k: int = 2048,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """x: [M, K] (bf16/f32); w_q8: [K, N] int8; scale: [N] fp32 -> [M, N].
