@@ -312,12 +312,16 @@ class GroundingEngine:
 
         ids = self._prompt_ids(sentence, QUESTIONS["retrieval"])
 
-        answers: List[str] = []
+        # Assemble every (zoom, call) pass first: each sees exactly ecfg.batch
+        # window tokens (windows repeated `zoom` times), so ALL multi-scale
+        # passes share one shape and run as ROWS of a single batched program —
+        # the reference issues one generate call per pass
+        # (eval_nlq_retrieval_e2e2.py:337-353); here a 100-window query with
+        # zooms [4,2,1] is one LLM call.
         starts: List[int] = []
         indexes: List[np.ndarray] = []
         hierarchy_zooms: List[int] = []
-        mean_entropy: List[float] = []
-        max_entropy: List[float] = []
+        row_feats: List[np.ndarray] = []
 
         V = len(windows)
         for zoom in ecfg.hierarchy_zooms:
@@ -339,21 +343,33 @@ class GroundingEngine:
                 feat = feat[perm]
                 if zoom > 1:
                     feat = np.repeat(feat, zoom, axis=0)
-                num_videos = feat.shape[0]
-
-                plan = build_splice_plan(
-                    ids, num_videos, len(ids) - 1 + num_videos + ecfg.max_new_tokens
-                )
-                plan_np = stack_plans([plan])
-                qf = qv = None
-                if query_feats is not None:
-                    qf = query_feats[None]
-                    qv = np.ones(qf.shape[:2], dtype=bool)
-                res = self._run_chunk(plan_np, feat[None], qf, qv)
-                answers.extend(res.answers)
                 hierarchy_zooms.append(zoom)
-                max_entropy.append(1.0 / max(res.entropy_stats[0, 0], 1e-9))
-                mean_entropy.append(1.0 / max(res.entropy_stats[0, 2], 1e-9))
+                row_feats.append(feat)
+
+        num_videos = row_feats[0].shape[0] if row_feats else ecfg.batch
+        plan = build_splice_plan(
+            ids, num_videos, len(ids) - 1 + num_videos + ecfg.max_new_tokens
+        )
+        answers: List[str] = []
+        mean_entropy: List[float] = []
+        max_entropy: List[float] = []
+        row_batch = max(len(ecfg.hierarchy_zooms), 1)
+        for rstart in range(0, len(row_feats), row_batch):
+            rows = row_feats[rstart : rstart + row_batch]
+            n_rows = len(rows)
+            if n_rows < row_batch:
+                rows = rows + [rows[-1]] * (row_batch - n_rows)
+            images = np.stack(rows, axis=0)  # [R, num_videos, T, d]
+            plan_np = stack_plans([plan] * row_batch)
+            qf = qv = None
+            if query_feats is not None:
+                qf = np.repeat(query_feats[None], row_batch, axis=0)
+                qv = np.ones(qf.shape[:2], dtype=bool)
+            res = self._run_chunk(plan_np, images, qf, qv)
+            answers.extend(res.answers[:n_rows])
+            for r in range(n_rows):
+                max_entropy.append(1.0 / max(res.entropy_stats[r, 0], 1e-9))
+                mean_entropy.append(1.0 / max(res.entropy_stats[r, 2], 1e-9))
 
         return {
             "answers": answers,
