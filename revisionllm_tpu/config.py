@@ -133,6 +133,8 @@ class DataConfig:
     sparse_dataset: bool = False
     sparse_length: int = 0
     long_baseline: bool = False
+    clip_adapter_feature: str = "cls"  # mirrors AdapterConfig.feature_mode for
+                                       # the 'alternate' schedule (dataset.py:565-567)
 
 
 @dataclass(frozen=True)

@@ -100,6 +100,10 @@ class GroundingDataset:
         self._vis_store = None
         self._query_store = None
         self._cache: Dict[str, np.ndarray] = {}
+        # 'alternate' schedule: even steps -> hierarchy CLS batches, odd steps
+        # -> plain temporal batches (reference dataset.py:564-567). Set by the
+        # training loop each step.
+        self.iteration_step = 0
 
     # ------------------------------------------------------------------ io
 
@@ -123,6 +127,11 @@ class GroundingDataset:
     def __getitem__(self, i: int) -> Dict[str, Any]:
         cfg = self.cfg
         if cfg.hierarchy:
+            if (
+                cfg.clip_adapter_feature == "alternate"
+                and self.iteration_step % 2 == 1
+            ):
+                return self.getitem(i)
             try:
                 return self._hierarchy_item(i)
             except Exception:

@@ -47,7 +47,15 @@ def init_vision_params(
     reference vtimellm_arch.py:12-73)."""
     if adapter_cfg.kind == "mlp":
         return {"mm_projector": init_mlp_projector(key, d_in, adapter_cfg.hidden_size, dtype)}
-    return {"mm_projector": init_adapter_params(adapter_cfg, key, dtype)}
+    out = {"mm_projector": init_adapter_params(adapter_cfg, key, dtype)}
+    if adapter_cfg.feature_mode == "alternate":
+        # LayerNorm applied to the adapter output in alternate mode
+        # (reference vtimellm_arch.py:72-73, 146-147)
+        out["alternate_ln"] = {
+            "w": jnp.ones((adapter_cfg.hidden_size,), dtype),
+            "b": jnp.zeros((adapter_cfg.hidden_size,), dtype),
+        }
+    return out
 
 
 def encode_video(
@@ -69,6 +77,14 @@ def encode_video(
     if adapter_cfg.kind == "mlp":
         return images @ proj["w"] + proj["b"]
 
+    def _post(toks):
+        if adapter_cfg.feature_mode == "alternate" and "alternate_ln" in vision_params:
+            from revisionllm_tpu.ops.norms import layer_norm
+
+            ln = vision_params["alternate_ln"]
+            return layer_norm(toks, ln["w"], ln["b"])
+        return toks
+
     if images.ndim == 4:  # hierarchy: one CLS token per window
         B, V, T, d = images.shape
         flat = images.reshape(B * V, T, d)
@@ -80,11 +96,13 @@ def encode_video(
         toks = clip_encoder_forward(
             adapter_cfg, proj, flat, qf, qv, iteration_step, deterministic, rng
         )  # [B*V, 1, hidden]
-        return toks.reshape(B, V, -1)
+        return _post(toks.reshape(B, V, -1))
 
-    return clip_encoder_forward(
-        adapter_cfg, proj, images, query_feats, query_valid, iteration_step,
-        deterministic, rng,
+    return _post(
+        clip_encoder_forward(
+            adapter_cfg, proj, images, query_feats, query_valid, iteration_step,
+            deterministic, rng,
+        )
     )
 
 

@@ -73,7 +73,11 @@ def make_loss_fn(
     llama_cfg: LlamaConfig,
     adapter_cfg: AdapterConfig,
     train_cfg: TrainConfig,
+    iteration_step: int = 0,
 ):
+    """`iteration_step` is STATIC (it selects the adapter output mode in
+    'alternate' configs — two different program shapes, reference
+    vtimellm_arch.py:112-123); build one loss per parity."""
     lora_cfg = train_cfg.lora or LoraConfig()
     scale = lora_mod.lora_scale(lora_cfg)
 
@@ -101,7 +105,7 @@ def make_loss_fn(
             memory_tokens=batch.get("memory_tokens"),
             lora=lora,
             lora_scale=scale if lora is not None else 0.0,
-            iteration_step=0,
+            iteration_step=iteration_step,
             deterministic=False,
             rng=rng,
             remat=train_cfg.gradient_checkpointing,
@@ -168,13 +172,14 @@ def make_train_step(
     train_cfg: TrainConfig,
     optimizer: optax.GradientTransformation,
     stream: bool = False,
+    iteration_step: int = 0,
 ):
     """Returns train_step(trainable, frozen, base_params, opt_state, batch, rng)
     -> (trainable, opt_state, metrics). Jit/shard at the call site."""
     if stream:
         loss_fn = make_stream_loss_fn(llama_cfg, adapter_cfg, train_cfg)
     else:
-        loss_fn = make_loss_fn(llama_cfg, adapter_cfg, train_cfg)
+        loss_fn = make_loss_fn(llama_cfg, adapter_cfg, train_cfg, iteration_step)
 
     def train_step(trainable, frozen, base_params, opt_state, batch, rng):
         loss, grads = jax.value_and_grad(loss_fn)(
@@ -195,6 +200,7 @@ def make_sharded_train_step(
     optimizer: optax.GradientTransformation,
     mesh,
     stream: bool = False,
+    iteration_step: int = 0,
 ):
     """Jit the train step over a mesh with FSDP/TP param shardings and
     data-parallel batch sharding (the one compiled program that replaces the
@@ -203,7 +209,10 @@ def make_sharded_train_step(
 
     from revisionllm_tpu.parallel.mesh import BATCH_AXES
 
-    step = make_train_step(llama_cfg, adapter_cfg, train_cfg, optimizer, stream=stream)
+    step = make_train_step(
+        llama_cfg, adapter_cfg, train_cfg, optimizer, stream=stream,
+        iteration_step=iteration_step,
+    )
 
     batch_sharding = NamedSharding(mesh, P(BATCH_AXES))
     repl = NamedSharding(mesh, P())

@@ -253,3 +253,24 @@ class TestCollator:
         assert batch["iteration_step"] == 0
         batch2 = coll([ds[0], ds[1]])
         assert batch2["iteration_step"] == 1
+
+
+class TestAlternate:
+    def test_alternate_switches_batch_structure(self, data_dir):
+        cfg = DataConfig(
+            data_path=str(data_dir / "train.json"), feat_folder=str(data_dir),
+            q_feat_dir=str(data_dir / "queries.rvfs"), vis_feat_storage="npy",
+            num_frames=64, feature_fps=5.0, debug_window=100,
+            hierarchy=True, hierarchy_num_videos=4,
+            clip_adapter_feature="alternate",
+        )
+        ds = GroundingDataset(
+            str(data_dir / "train.json"), FakeTokenizer(), cfg,
+            rng=np.random.default_rng(0), debug=True,
+        )
+        ds.iteration_step = 0
+        even = ds[0]
+        assert even["image"].ndim == 3  # [V, T, d] hierarchy batch
+        ds.iteration_step = 1
+        odd = ds[0]
+        assert odd["image"].ndim == 2   # [T, d] plain temporal batch
