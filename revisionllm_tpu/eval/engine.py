@@ -125,10 +125,16 @@ class GroundingEngine:
         out = self._get_program(key)(
             self.params, self.vision_params, plan, images_j, qf, qv
         )
+        return out  # device arrays; realized by _read_chunk
+
+    def _read_chunk(self, out) -> ChunkResult:
         tokens = np.asarray(out["tokens"])
         valid = np.asarray(out["valid"])
         stats = np.asarray(out["entropy_stats"])
         return ChunkResult(self._decode_answers(tokens, valid), stats)
+
+    def _run_chunk_sync(self, plan_np, images, qf, qv) -> ChunkResult:
+        return self._read_chunk(self._run_chunk(plan_np, images, qf, qv))
 
     # ---------------------------------------------------------------- stage 1
 
@@ -168,16 +174,21 @@ class GroundingEngine:
         if query_feats is not None:
             qf = np.repeat(query_feats[None], chunk, axis=0)
             qv = np.ones(qf.shape[:2], dtype=bool)
+        # dispatch every chunk asynchronously, then realize: the host-side
+        # padding/transfer of chunk N+1 overlaps the device decode of chunk N
+        pending = []
         for start in range(0, n, chunk):
             end = min(start + chunk, n)
             feats = windows[start:end]
             if len(feats) < chunk:  # pad the tail chunk to the compiled shape
                 pad = np.repeat(feats[-1:], chunk - len(feats), axis=0)
                 feats = np.concatenate([feats, pad], axis=0)
-            res = self._run_chunk(plan_np, feats, qf, qv)
-            answers.extend(res.answers[: end - start])
-            col = 0 if ecfg.score == "max_entropy" else 2
-            scores_entropy.extend(res.entropy_stats[: end - start, col].tolist())
+            pending.append((end - start, self._run_chunk(plan_np, feats, qf, qv)))
+        col = 0 if ecfg.score == "max_entropy" else 2
+        for n_valid, out in pending:
+            res = self._read_chunk(out)
+            answers.extend(res.answers[:n_valid])
+            scores_entropy.extend(res.entropy_stats[:n_valid, col].tolist())
 
         # proposal parsing + CLIP cosine scoring (reference :307-320)
         frames: Dict[int, Tuple[int, int]] = {}
@@ -277,7 +288,7 @@ class GroundingEngine:
                 feats = np.concatenate(
                     [feats, np.repeat(feats[-1:], chunk - len(feats), axis=0)], 0
                 )
-            res = self._run_chunk(plan_np, feats, None, None)
+            res = self._run_chunk_sync(plan_np, feats, None, None)
             answers.extend(res.answers[: end - start])
         return {"answers": answers}
 
@@ -365,7 +376,7 @@ class GroundingEngine:
             if query_feats is not None:
                 qf = np.repeat(query_feats[None], row_batch, axis=0)
                 qv = np.ones(qf.shape[:2], dtype=bool)
-            res = self._run_chunk(plan_np, images, qf, qv)
+            res = self._run_chunk_sync(plan_np, images, qf, qv)
             answers.extend(res.answers[:n_rows])
             for r in range(n_rows):
                 max_entropy.append(1.0 / max(res.entropy_stats[r, 0], 1e-9))
