@@ -63,10 +63,8 @@ def generate(
     prompt_lens = prompt_lens.astype(jnp.int32)
     first_logits, prompt_kv = llama.prefill_kv(
         cfg, params, embeds, positions, kv_lens=prompt_lens,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, kv_quant=_kv8_enabled(),
     )
-    if _kv8_enabled():
-        prompt_kv = llama.quantize_prompt_kv(prompt_kv)
     gen_cache = {
         "k": jnp.zeros(
             (cfg.num_layers, B, G, cfg.num_kv_heads, cfg.head_dim), embeds.dtype

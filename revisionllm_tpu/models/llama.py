@@ -178,13 +178,24 @@ def forward_hidden(
     remat: bool = False,
     return_kv: bool = False,
     trainable: bool = False,
+    kv_quant: bool = False,
 ):
     """Full-sequence forward. embeds [B, T, D], positions [B, T] int32.
 
     Returns final hidden [B, T, D]; with return_kv=True also the per-layer
-    (k, v) stacks [L, B, T, KH, hd] for cache prefill.
+    (k, v) stacks [L, B, T, KH, hd] for cache prefill. kv_quant=True emits
+    int8 k/v + per-(position, head) scales INSIDE the layer scan — the bf16
+    cache never materializes, which is what lets large window chunks fit
+    next to the weights.
     """
     cos, sin = rope_angles(positions, _rotary_dim(cfg), cfg.rope_theta)
+
+    def _quantize_kv(t):
+        tf = t.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(tf), axis=-1)
+        sc = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+        q = jnp.clip(jnp.round(tf / sc[..., None]), -127, 127).astype(jnp.int8)
+        return q, sc
 
     def layer(carry, xs):
         x = carry
@@ -197,7 +208,13 @@ def forward_hidden(
         x = x + attn_out
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
         x = x + _mlp_block(lp, lora_lp, lora_scale, h)
-        return x, (k, v) if return_kv else None
+        if not return_kv:
+            return x, None
+        if kv_quant:
+            kq, ks = _quantize_kv(k)
+            vq, vs = _quantize_kv(v)
+            return x, (kq, ks, vq, vs)
+        return x, (k, v)
 
     if remat:
         layer = jax.checkpoint(layer)
@@ -346,19 +363,27 @@ def prefill_kv(
     lora: Optional[Params] = None,
     lora_scale: float = 0.0,
     use_pallas: Optional[bool] = None,
+    kv_quant: bool = False,
 ) -> Tuple[jnp.ndarray, Params]:
     """Prefill without a preallocated cache: returns (last-position logits,
-    read-only prompt kv {"k","v"} [L, B, T, KH, hd])."""
-    hidden, (k, v) = forward_hidden(
+    read-only prompt kv {"k","v"[,"k_scale","v_scale"]} [L, B, T, KH, hd]).
+    kv_quant=True yields the int8 cache directly (no bf16 peak)."""
+    hidden, kv_out = forward_hidden(
         cfg, params, embeds, positions, kv_lens, lora, lora_scale, use_pallas,
-        return_kv=True,
+        return_kv=True, kv_quant=kv_quant,
     )
     if kv_lens is None:
         last = hidden[:, -1]
     else:
         idx = jnp.maximum(kv_lens - 1, 0)
         last = jnp.take_along_axis(hidden, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
-    return logits_from_hidden(params, last), {"k": k, "v": v}
+    if kv_quant:
+        kq, ks, vq, vs = kv_out
+        cache = {"k": kq, "k_scale": ks, "v": vq, "v_scale": vs}
+    else:
+        k, v = kv_out
+        cache = {"k": k, "v": v}
+    return logits_from_hidden(params, last), cache
 
 
 def decode_step_split(

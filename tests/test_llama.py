@@ -172,3 +172,20 @@ class TestKv8Decode:
         scale = np.abs(np.asarray(logits_fp)).mean() + 1e-6
         assert err.mean() / scale < 0.05
         assert (np.argmax(np.asarray(logits_fp), -1) == np.argmax(np.asarray(logits_q8), -1)).mean() >= 0.5
+
+    def test_in_scan_kv_quant_matches_posthoc(self, setup):
+        cfg, params = setup
+        from revisionllm_tpu.models import llama as L
+
+        ids = jnp.asarray(np.random.default_rng(11).integers(3, cfg.vocab_size, (2, 8)))
+        pos = jnp.broadcast_to(jnp.arange(8), (2, 8))
+        lens = jnp.full((2,), 8, jnp.int32)
+        _, kv_fp = L.prefill_kv(cfg, params, L.embed_tokens(params, ids), pos, kv_lens=lens)
+        _, kv_q = L.prefill_kv(
+            cfg, params, L.embed_tokens(params, ids), pos, kv_lens=lens, kv_quant=True
+        )
+        posthoc = L.quantize_prompt_kv(kv_fp)
+        np.testing.assert_array_equal(np.asarray(kv_q["k"]), np.asarray(posthoc["k"]))
+        np.testing.assert_allclose(
+            np.asarray(kv_q["k_scale"]), np.asarray(posthoc["k_scale"]), rtol=1e-6
+        )
