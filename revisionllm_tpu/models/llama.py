@@ -437,15 +437,25 @@ def decode_step_split(
         gk = jax.lax.dynamic_update_slice(gk, k.astype(gk.dtype), (0, step, 0, 0))
         gv = jax.lax.dynamic_update_slice(gv, v.astype(gv.dtype), (0, step, 0, 0))
 
-        qg = q.reshape(B, 1, KH, group, hd).astype(jnp.float32)
+        qg = q.reshape(B, 1, KH, group, hd)
         scale = hd ** -0.5
 
-        s1 = jnp.einsum("bokgd,bskd->bkgs", qg, pk.astype(jnp.float32)) * scale
+        # keep the cache operands in their storage dtype and accumulate in
+        # fp32 (preferred_element_type): an explicit .astype(f32) would
+        # MATERIALIZE a full fp32 copy of the prompt cache every step —
+        # tripling the dominant HBM read of decode
+        pk_op = pk if pk.dtype == qg.dtype else pk.astype(qg.dtype)
+        s1 = jnp.einsum(
+            "bokgd,bskd->bkgs", qg, pk_op, preferred_element_type=jnp.float32
+        ) * scale
         if quantized:
             # per-(position, head) dequant scale folded into the scores
             s1 = s1 * jnp.transpose(ksc, (0, 2, 1))[:, :, None, :]
         s1 = jnp.where(prompt_mask[:, None, None, :], s1, -2.0e30)
-        s2 = jnp.einsum("bokgd,bskd->bkgs", qg, gk.astype(jnp.float32)) * scale
+        s2 = jnp.einsum(
+            "bokgd,bskd->bkgs", qg, gk.astype(qg.dtype),
+            preferred_element_type=jnp.float32,
+        ) * scale
         s2 = jnp.where(gen_mask[:, None, None, :], s2, -2.0e30)
 
         m = jnp.maximum(
@@ -458,9 +468,16 @@ def decode_step_split(
             p1v = p1 * jnp.transpose(vsc, (0, 2, 1))[:, :, None, :]
         else:
             p1v = p1
+        pv_op = pv if pv.dtype == qg.dtype else pv.astype(qg.dtype)
         o = (
-            jnp.einsum("bkgs,bskd->bkgd", p1v, pv.astype(jnp.float32))
-            + jnp.einsum("bkgs,bskd->bkgd", p2, gv.astype(jnp.float32))
+            jnp.einsum(
+                "bkgs,bskd->bkgd", p1v.astype(qg.dtype), pv_op,
+                preferred_element_type=jnp.float32,
+            )
+            + jnp.einsum(
+                "bkgs,bskd->bkgd", p2.astype(qg.dtype), gv.astype(qg.dtype),
+                preferred_element_type=jnp.float32,
+            )
         ) / denom
         o = o.reshape(B, 1, H * hd).astype(x.dtype)
         x = x + q8_apply(o, lp["o_proj"])
