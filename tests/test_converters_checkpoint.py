@@ -168,3 +168,26 @@ class TestCheckpointRoundtrip:
         np.testing.assert_allclose(
             np.asarray(vision["global_token"]), vision2["global_token"], rtol=1e-6
         )
+
+
+class TestAnalysis:
+    def test_stats_and_check(self, tmp_path):
+        from revisionllm_tpu.data import analysis as A
+
+        recs = [
+            {"id": "v1", "meta": {"duration": 100.0, "token": {"<s0>": 5.0, "<e0>": 9.0}}},
+            {"id": "v2/clip.mp4", "meta": {"duration": 200.0, "token": {"<s0>": 1.0, "<e0>": 3.0}}},
+        ]
+        s = A.stats(recs)
+        assert s["num_records"] == 2 and s["duration_max"] == 200.0
+        assert s["gt_len_mean"] == pytest.approx(3.0)
+
+        d = tmp_path / "feats"
+        d.mkdir()
+        np.save(d / "v1.npy", np.zeros((50, 4), np.float32))
+        result = A.check(recs, str(d), num_frames=10)
+        assert "v2/clip.mp4" in result["missing"]
+        assert result["checked"] == 2
+
+        fixed = A.reformat_ids(recs)
+        assert fixed[1]["id"] == "clip"
