@@ -63,6 +63,9 @@ def build_engine_from_args(args) -> GroundingEngine:
         dtype=jnp.bfloat16,
     )
     params = jnp_tree(params)
+    from revisionllm_tpu.models.llama import fuse_layer_matrices
+
+    params = fuse_layer_matrices(params)  # inference layout (post LoRA merge)
     vision = jnp_tree(vision) if vision is not None else None
 
     from transformers import AutoTokenizer

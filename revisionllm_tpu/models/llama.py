@@ -93,6 +93,31 @@ def init_params(cfg: LlamaConfig, key: jax.Array, dtype=None) -> Params:
     }
 
 
+def fuse_layer_matrices(params: Params) -> Params:
+    """Inference-only layout: concatenate q/k/v -> qkv_proj and gate/up ->
+    gateup_proj along the output dim (works for dense arrays and
+    {'q8','scale'} dicts). Fewer, larger matmul kernels per decode step.
+    Not compatible with in-line LoRA (merge first) or qkv_bias backbones."""
+    layers = dict(params["layers"])
+    if "qkv_proj" in layers or "q_bias" in layers:
+        return params
+
+    def cat(names):
+        ws = [layers.pop(n) for n in names]
+        if isinstance(ws[0], dict):
+            return {
+                "q8": jnp.concatenate([w["q8"] for w in ws], axis=-1),
+                "scale": jnp.concatenate([w["scale"] for w in ws], axis=-1),
+            }
+        return jnp.concatenate(ws, axis=-1)
+
+    layers["qkv_proj"] = cat(["q_proj", "k_proj", "v_proj"])
+    layers["gateup_proj"] = cat(["gate_proj", "up_proj"])
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
 def embed_tokens(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
     """Token ids -> embeddings. Negative sentinel ids must be resolved by the
     multimodal splicer before this point; they are clamped defensively."""
@@ -138,9 +163,17 @@ def _attention_block(
     def proj(name):
         return _lora_apply(x, lp[name], lora_lp.get(name) if lora_lp else None, lora_scale)
 
-    q = proj("q_proj").reshape(B, T, H, hd)
-    k = proj("k_proj").reshape(B, T, KH, hd)
-    v = proj("v_proj").reshape(B, T, KH, hd)
+    if "qkv_proj" in lp and lora_lp is None:
+        qkv = q8_apply(x, lp["qkv_proj"])
+        q_out = H * hd
+        kv_out = KH * hd
+        q = qkv[..., :q_out].reshape(B, T, H, hd)
+        k = qkv[..., q_out : q_out + kv_out].reshape(B, T, KH, hd)
+        v = qkv[..., q_out + kv_out :].reshape(B, T, KH, hd)
+    else:
+        q = proj("q_proj").reshape(B, T, H, hd)
+        k = proj("k_proj").reshape(B, T, KH, hd)
+        v = proj("v_proj").reshape(B, T, KH, hd)
     if cfg.qkv_bias:
         q = q + lp["q_bias"].reshape(H, hd)
         k = k + lp["k_bias"].reshape(KH, hd)
@@ -161,6 +194,10 @@ def _mlp_block(lp, lora_lp, lora_scale, x):
     def proj(name, h):
         return _lora_apply(h, lp[name], lora_lp.get(name) if lora_lp else None, lora_scale)
 
+    if "gateup_proj" in lp and lora_lp is None:
+        gu = q8_apply(x, lp["gateup_proj"])
+        f = gu.shape[-1] // 2
+        return proj("down_proj", jax.nn.silu(gu[..., :f]) * gu[..., f:])
     gate = jax.nn.silu(proj("gate_proj", x))
     up = proj("up_proj", x)
     return proj("down_proj", gate * up)
@@ -424,9 +461,16 @@ def decode_step_split(
         else:
             lp, pk, pv, gk, gv = xs
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-        q = q8_apply(h, lp["q_proj"]).reshape(B, 1, H, hd)
-        k = q8_apply(h, lp["k_proj"]).reshape(B, 1, KH, hd)
-        v = q8_apply(h, lp["v_proj"]).reshape(B, 1, KH, hd)
+        if "qkv_proj" in lp:
+            qkv = q8_apply(h, lp["qkv_proj"])
+            q_out, kv_out = H * hd, KH * hd
+            q = qkv[..., :q_out].reshape(B, 1, H, hd)
+            k = qkv[..., q_out : q_out + kv_out].reshape(B, 1, KH, hd)
+            v = qkv[..., q_out + kv_out :].reshape(B, 1, KH, hd)
+        else:
+            q = q8_apply(h, lp["q_proj"]).reshape(B, 1, H, hd)
+            k = q8_apply(h, lp["k_proj"]).reshape(B, 1, KH, hd)
+            v = q8_apply(h, lp["v_proj"]).reshape(B, 1, KH, hd)
         if cfg.qkv_bias:
             q = q + lp["q_bias"].reshape(H, hd)
             k = k + lp["k_bias"].reshape(KH, hd)

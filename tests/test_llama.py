@@ -189,3 +189,46 @@ class TestKv8Decode:
         np.testing.assert_allclose(
             np.asarray(kv_q["k_scale"]), np.asarray(posthoc["k_scale"]), rtol=1e-6
         )
+
+
+class TestFusedLayout:
+    def test_fused_matches_unfused(self, setup):
+        cfg, params = setup
+        from revisionllm_tpu.models.llama import fuse_layer_matrices
+
+        fused = fuse_layer_matrices(params)
+        assert "qkv_proj" in fused["layers"] and "q_proj" not in fused["layers"]
+        ids = jnp.arange(10)[None] % cfg.vocab_size
+        pos = jnp.arange(10)[None]
+        e = llama.embed_tokens(params, ids)
+        h0 = llama.forward_hidden(cfg, params, e, pos)
+        h1 = llama.forward_hidden(cfg, fused, e, pos)
+        # fused dot tiles differently: float-associativity noise only
+        np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), rtol=1e-4, atol=1e-5)
+
+    def test_fused_decode_parity(self, setup):
+        cfg, params = setup
+        from revisionllm_tpu.models import generation
+        from revisionllm_tpu.models.llama import fuse_layer_matrices
+
+        fused = fuse_layer_matrices(params)
+        ids = jnp.asarray(np.random.default_rng(3).integers(3, cfg.vocab_size, (1, 6)))
+        e = llama.embed_tokens(params, ids)
+        pos = jnp.arange(6)[None]
+        lens = jnp.array([6], jnp.int32)
+        o0 = generation.generate(cfg, params, e, pos, lens, eos_id=2, max_new_tokens=4)
+        o1 = generation.generate(cfg, fused, e, pos, lens, eos_id=2, max_new_tokens=4)
+        np.testing.assert_array_equal(np.asarray(o0["tokens"]), np.asarray(o1["tokens"]))
+
+    def test_fused_quantized(self, setup):
+        cfg, params = setup
+        from revisionllm_tpu.models.llama import fuse_layer_matrices
+        from revisionllm_tpu.ops.quant import quantize_llama_params
+
+        qf = fuse_layer_matrices(quantize_llama_params(params))
+        assert qf["layers"]["qkv_proj"]["q8"].dtype == jnp.int8
+        ids = jnp.arange(8)[None] % cfg.vocab_size
+        e = llama.embed_tokens(params, ids)
+        pos = jnp.arange(8)[None]
+        h = llama.forward_hidden(cfg, qf, e, pos)
+        assert np.isfinite(np.asarray(h)).all()
