@@ -68,9 +68,7 @@ def main():
         from revisionllm_tpu.ops.quant import quantize_llama_params
 
         shapes = jax.eval_shape(
-            lambda k: llama_mod.fuse_layer_matrices(
-                quantize_llama_params(llama_mod.init_params(cfg, k, dtype))
-            ),
+            lambda k: quantize_llama_params(llama_mod.init_params(cfg, k, dtype)),
             jax.random.PRNGKey(0),
         )
         params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)

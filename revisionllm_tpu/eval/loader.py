@@ -63,9 +63,9 @@ def build_engine_from_args(args) -> GroundingEngine:
         dtype=jnp.bfloat16,
     )
     params = jnp_tree(params)
-    from revisionllm_tpu.models.llama import fuse_layer_matrices
-
-    params = fuse_layer_matrices(params)  # inference layout (post LoRA merge)
+    # note: llama.fuse_layer_matrices (qkv/gateup fusion) measured NEUTRAL to
+    # slightly negative at these shapes (the gate/up split copies large
+    # prefill activations); left opt-in rather than default
     vision = jnp_tree(vision) if vision is not None else None
 
     from transformers import AutoTokenizer
