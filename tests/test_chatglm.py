@@ -160,3 +160,35 @@ class TestGlmPreprocess:
         assert (labels[: asst_pos + 1] == -100).all()
         # assistant answer supervised (shifted by one)
         assert (labels[asst_pos + 1 :] != -100).any()
+
+
+class TestGlmGenerate:
+    def test_generate_matches_stepwise(self):
+        """The split-KV decode loop must stay exact under MQA (2 kv heads),
+        partial interleaved rotary, and qkv bias."""
+        cfg = tiny_glm_cfg()
+        params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+        params["layers"]["q_bias"] = params["layers"]["q_bias"] + 0.05
+
+        from revisionllm_tpu.models import generation
+
+        B, P, G = 2, 5, 4
+        ids = jnp.asarray(np.random.default_rng(2).integers(3, cfg.vocab_size, (B, P)))
+        embeds = llama.embed_tokens(params, ids)
+        pos = jnp.broadcast_to(jnp.arange(P), (B, P))
+        lens = jnp.full((B,), P, jnp.int32)
+        out = generation.generate(cfg, params, embeds, pos, lens, eos_id=2, max_new_tokens=G)
+
+        # naive: full forward each step
+        cur = np.asarray(ids)
+        for g in range(G):
+            T = cur.shape[1]
+            h = llama.forward_hidden(
+                cfg, params, llama.embed_tokens(params, jnp.asarray(cur)),
+                jnp.broadcast_to(jnp.arange(T), (B, T)),
+            )
+            nxt = np.asarray(jnp.argmax(llama.logits_from_hidden(params, h)[:, -1], -1))
+            for b in range(B):
+                if np.asarray(out["valid"][b, g]):
+                    assert int(out["tokens"][b, g]) == nxt[b], f"step {g} row {b}"
+            cur = np.concatenate([cur, nxt[:, None]], axis=1)
