@@ -135,6 +135,9 @@ class DataConfig:
     long_baseline: bool = False
     clip_adapter_feature: str = "cls"  # mirrors AdapterConfig.feature_mode for
                                        # the 'alternate' schedule (dataset.py:565-567)
+    t2v: Optional[str] = None          # MSRVTT text->video retrieval: csv of video
+                                       # ids; negatives sampled from OTHER videos
+                                       # (dataset.py:52,475-480,657-693)
 
 
 @dataclass(frozen=True)

@@ -74,9 +74,18 @@ class GroundingDataset:
                 group[self.rng.integers(len(group))] for group in by_id.values()
             ]
 
+        self.t2v: Optional[List[str]] = None
+        if cfg.t2v is not None:
+            # MSRVTT retrieval: list of candidate video ids (reference
+            # dataset.py:476-480 reads the csv's video_id column)
+            import csv
+
+            with open(cfg.t2v) as f:
+                self.t2v = [row["video_id"] for row in csv.DictReader(f)]
+
         self.neg_value = NEGATIVE_ANSWER_RETRIEVAL if cfg.retrieval_only else NEGATIVE_ANSWER
         if cfg.neg_window:
-            if cfg.retrieval_only:
+            if cfg.retrieval_only and self.t2v is None:
                 for r in self.records:
                     q = r["conversations"][0]["value"]
                     q = q.replace("<video>\nDuring which frames can we see ", "")[:-1]
@@ -126,6 +135,13 @@ class GroundingDataset:
 
     def __getitem__(self, i: int) -> Dict[str, Any]:
         cfg = self.cfg
+        if self.t2v is not None:
+            try:
+                return self._t2v_item(i)
+            except Exception:
+                if self.debug:
+                    raise
+                return self[int(self.rng.integers(len(self)))]
         if cfg.hierarchy:
             if (
                 cfg.clip_adapter_feature == "alternate"
@@ -148,6 +164,59 @@ class GroundingDataset:
             clip1["clip2"] = clip2
             return clip1
         return self.getitem(i)
+
+    def _t2v_item(self, i: int) -> Dict[str, Any]:
+        """MSRVTT text->video retrieval sampling (reference dataset.py:657-693):
+        whole OTHER videos serve as negatives; positives answer 'In video N'
+        (hierarchy) or draw a random video for the 'no' answer (flat)."""
+        cfg = self.cfg
+        source = copy.deepcopy(self.records[i])
+        is_neg = source["conversations"][1]["value"] == self.neg_value
+
+        def sample_track(vid):
+            feats = self._vis(vid)
+            idx = np.linspace(0, feats.shape[0] - 1, cfg.num_frames, dtype=np.int32)
+            return feats[idx]
+
+        others = [x for x in self.t2v if x != source["id"]]
+        if cfg.hierarchy:
+            num_videos = cfg.hierarchy_num_videos - (0 if is_neg else 1)
+            neg_ids = list(self.rng.choice(others, size=num_videos, replace=False))
+            neg_images = [sample_track(n) for n in neg_ids]
+            if is_neg:
+                source["conversations"][1]["value"] = NEGATIVE_ANSWER
+                image = np.stack(neg_images, axis=0)
+            else:
+                pos_idx = int(self.rng.integers(0, cfg.hierarchy_num_videos))
+                source["conversations"][1]["value"] = f"In video {pos_idx}"
+                pos = sample_track(source["id"])
+                image = np.stack(
+                    neg_images[:pos_idx] + [pos] + neg_images[pos_idx:], axis=0
+                )
+        else:
+            vid = source["id"]
+            if is_neg:
+                vid = str(self.rng.choice(others))
+            image = sample_track(vid)
+
+        query_feat = query_cls = None
+        if cfg.q_feat_dir is not None and "query_id" in source:
+            query_feat, query_cls = self._query(str(source["query_id"]))
+
+        processed = preprocess_v1(
+            source["conversations"], self.tokenizer, self.model_max_length,
+            ignore_temporal=cfg.ignore_temporal,
+        )
+        out: Dict[str, Any] = {
+            "input_ids": processed["input_ids"],
+            "labels": processed["labels"],
+            "image": np.asarray(image),
+            "hier_neg_start": 0,
+        }
+        if query_feat is not None:
+            out["query_feat"] = query_feat
+            out["query_cls"] = query_cls
+        return out
 
     def _hierarchy_item(self, i: int) -> Dict[str, Any]:
         """Assemble one hierarchy sample: positive windows + disjoint negatives

@@ -274,3 +274,81 @@ class TestAlternate:
         ds.iteration_step = 1
         odd = ds[0]
         assert odd["image"].ndim == 2   # [T, d] plain temporal batch
+
+
+class TestT2V:
+    def test_msrvtt_hierarchy_sampling(self, data_dir, tmp_path):
+        # extra candidate videos + the csv listing
+        for k in range(2, 6):
+            feats = np.random.default_rng(k).normal(size=(200, 16)).astype(np.float32)
+            np.save(data_dir / f"vid{k}.npy", feats)
+        csv_path = tmp_path / "t2v.csv"
+        with open(csv_path, "w") as f:
+            f.write("video_id\n" + "\n".join([f"vid{k}" for k in range(2, 6)] + ["movie1"]))
+
+        records = [
+            {
+                "id": "movie1",
+                "query_id": "q0",
+                "conversations": [
+                    {"from": "human", "value": "<video>\nDuring which video can we see a dog?"},
+                    {"from": "gpt", "value": "yes"},
+                ],
+                "source": "msrvtt",
+            }
+        ]
+        import json as _json
+
+        rec_path = tmp_path / "msrvtt.json"
+        with open(rec_path, "w") as f:
+            _json.dump(records, f)
+
+        cfg = DataConfig(
+            data_path=str(rec_path), feat_folder=str(data_dir),
+            vis_feat_storage="npy", num_frames=32, hierarchy=True,
+            hierarchy_num_videos=4, t2v=str(csv_path),
+        )
+        ds = GroundingDataset(
+            str(rec_path), FakeTokenizer(), cfg,
+            rng=np.random.default_rng(0), debug=True,
+        )
+        item = ds[0]
+        assert item["image"].shape == (4, 32, 16)
+        text = " ".join(
+            ds.tokenizer.inv.get(int(t), "?") for t in item["input_ids"] if int(t) > 2
+        )
+        assert "In video" in text
+
+    def test_msrvtt_flat_negative(self, data_dir, tmp_path):
+        for k in range(2, 4):
+            np.save(data_dir / f"nvid{k}.npy",
+                    np.random.default_rng(k).normal(size=(100, 16)).astype(np.float32))
+        csv_path = tmp_path / "t2v2.csv"
+        with open(csv_path, "w") as f:
+            f.write("video_id\nnvid2\nnvid3\nmovie1\n")
+        records = [
+            {
+                "id": "movie1",
+                "conversations": [
+                    {"from": "human", "value": "<video>\nDoes a dog happen in the video?"},
+                    {"from": "gpt", "value": "Not Present"},
+                ],
+                "source": "msrvtt",
+            }
+        ]
+        import json as _json
+
+        rec_path = tmp_path / "msrvtt2.json"
+        with open(rec_path, "w") as f:
+            _json.dump(records, f)
+        cfg = DataConfig(
+            data_path=str(rec_path), feat_folder=str(data_dir),
+            vis_feat_storage="npy", num_frames=16, hierarchy=False,
+            t2v=str(csv_path),
+        )
+        ds = GroundingDataset(
+            str(rec_path), FakeTokenizer(), cfg,
+            rng=np.random.default_rng(1), debug=True,
+        )
+        item = ds[0]
+        assert item["image"].shape == (16, 16)
