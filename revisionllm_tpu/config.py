@@ -189,6 +189,9 @@ class EvalConfig:
     max_new_tokens: int = 32
     temperature: float = 0.05
     greedy: bool = True              # argmax decode (temp 0.05 is near-greedy)
+    baseline: bool = False           # single globally-resampled window
+                                     # (reference eval_nlq_negative.py:220-228)
+    plus_baseline: bool = False      # append a whole-movie window (:237-240)
 
 
 @dataclass(frozen=True)

@@ -154,15 +154,31 @@ class GroundingEngine:
         """
         ecfg = self.eval_cfg
         clip_length = int(ecfg.debug_window * ecfg.feature_fps)
-        bounds = W.dense_window_bounds(len(features), clip_length)
+        if ecfg.baseline:
+            # single window of the globally-resampled track (reference
+            # eval_nlq_negative.py:220-228: resample to clip_length frames,
+            # evaluate windowidx=[1])
+            global_idx = np.linspace(0, len(features) - 1, clip_length, dtype=np.int32)
+            features = features[global_idx]
+            bounds = W.dense_window_bounds(len(features), clip_length)
+            bounds = bounds[1:2] if len(bounds) > 1 else bounds[:1]
+        else:
+            bounds = W.dense_window_bounds(len(features), clip_length)
         if not bounds:
             return {"answers": [], "scores_entropy": [], "score_cos": [], "frames": {}}
         plan_idx = W.window_frame_indices(bounds, ecfg.num_frames)
         windows = features[plan_idx]  # [N, num_frames, 768] host gather
+        if ecfg.plus_baseline:
+            # append one whole-movie window (reference :237-240); its answers
+            # map through stage1_iou(plus_baseline=True) with offset 0
+            whole = features[
+                np.linspace(0, len(features) - 1, ecfg.num_frames, dtype=np.int32)
+            ]
+            windows = np.concatenate([windows, whole[None]], axis=0)
 
         ids = self._prompt_ids(sentence, QUESTIONS[question_key])
         chunk = max(ecfg.batch, 1)
-        n = len(bounds)
+        n = len(windows)
 
         answers: List[str] = []
         scores_entropy: List[float] = []

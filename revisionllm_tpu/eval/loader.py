@@ -45,6 +45,8 @@ def eval_cfg_from_args(args) -> EvalConfig:
         skip_small_videos=bool(getattr(args, "skip_small_videos", True)),
         single=bool(getattr(args, "single", True)),
         max_new_tokens=getattr(args, "max_new_tokens", 32),
+        baseline=bool(getattr(args, "baseline", False)),
+        plus_baseline=bool(getattr(args, "plus_baseline", False)),
     )
 
 

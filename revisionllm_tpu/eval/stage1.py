@@ -54,6 +54,8 @@ def parse_args(argv=None):
     p.add_argument("--hierarchy", type=bool, default=False)
     p.add_argument("--mad_prompt", type=str, default="mad_grounding")
     p.add_argument("--max_new_tokens", type=int, default=32)
+    p.add_argument("--baseline", type=bool, default=False)
+    p.add_argument("--plus_baseline", type=bool, default=False)
     p.add_argument("--debug", type=bool, default=False)
     return p.parse_args(argv)
 
@@ -141,7 +143,7 @@ def run(args, engine: GroundingEngine) -> Dict[str, int]:
             num_frames_video = int(duration * args.num_frames / args.debug_window)
             _, ious, scores = M.stage1_iou(
                 res["answers"], gt, args.num_frames, num_frames_video,
-                res["scores"], False,
+                res["scores"], getattr(args, "plus_baseline", False),
             )
             M.write_log(
                 prediction_path, movie, "grounding", qid, res["answers"],

@@ -181,3 +181,38 @@ class TestCaptioning:
         out = tiny_engine.caption_windows(feats)
         assert len(out["answers"]) == 19
         assert all(isinstance(a, str) for a in out["answers"])
+
+
+class TestBaselineModes:
+    def test_plus_baseline_appends_window(self, eval_data):
+        from revisionllm_tpu.config import AdapterConfig, EvalConfig, LlamaConfig
+        from revisionllm_tpu.eval.engine import GroundingEngine
+        from revisionllm_tpu.models import llama as L, revisionllm as RV
+
+        cfg = LlamaConfig(**{**LlamaConfig.tiny().__dict__, "dtype": "float32"})
+        acfg = AdapterConfig(
+            d_model=16, num_heads=4, num_layers=2, ffn_dim=32,
+            hidden_size=cfg.hidden_size, clip_adapter_text=True, hierarchy=False,
+            feature_mode="temporal",
+        )
+        params = L.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+        vision = RV.init_vision_params(acfg, jax.random.PRNGKey(1), d_in=16)
+        tok = FakeTokenizer()
+        for i in range(300):
+            tok._id(str(i))
+        ecfg = EvalConfig(
+            debug_window=20, num_frames=16, feature_fps=2.0, batch=4, stride=2,
+            max_new_tokens=4, plus_baseline=True,
+        )
+        engine = GroundingEngine(cfg, acfg, params, vision, tok, ecfg)
+        feats = np.load(str(eval_data / "m1.npy"))
+        res = engine.ground_windows(feats, "a dog")
+        assert len(res["answers"]) == 20  # 19 windows + whole-movie window
+
+        ecfg_b = EvalConfig(
+            debug_window=20, num_frames=16, feature_fps=2.0, batch=4, stride=2,
+            max_new_tokens=4, baseline=True,
+        )
+        engine_b = GroundingEngine(cfg, acfg, params, vision, tok, ecfg_b)
+        res_b = engine_b.ground_windows(feats, "a dog")
+        assert len(res_b["answers"]) == 1
