@@ -18,6 +18,7 @@ class SeparatorStyle(Enum):
     SINGLE = auto()
     TWO = auto()
     PLAIN = auto()
+    LLAMA_2 = auto()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,6 +56,19 @@ class Conversation:
                 else:
                     ret += role + ":"
             return ret
+        if self.sep_style == SeparatorStyle.LLAMA_2:
+            # (reference conversation.py:70-90 llama-2 [INST] wrapping)
+            wrap_sys = f"<<SYS>>\n{self.system}\n<</SYS>>\n\n"
+            ret = ""
+            for i, (role, message) in enumerate(messages):
+                if message:
+                    if i == 0:
+                        message = wrap_sys + message
+                    if i % 2 == 0:
+                        ret += self.sep + f"[INST] {message} [/INST]"
+                    else:
+                        ret += " " + message + " " + self.sep2
+            return ret.lstrip(self.sep)
         if self.sep_style == SeparatorStyle.PLAIN:
             seps = [self.sep, self.sep2]
             ret = self.system
@@ -96,10 +110,23 @@ CONV_PLAIN = Conversation(
     version="plain",
 )
 
+CONV_LLAMA_2 = Conversation(
+    system=(
+        "You are a helpful, respectful and honest assistant. Always answer as "
+        "helpfully as possible, while being safe."
+    ),
+    roles=("USER", "ASSISTANT"),
+    sep_style=SeparatorStyle.LLAMA_2,
+    sep="<s>",
+    sep2="</s>",
+    version="llama_v2",
+)
+
 conv_templates = {
     "v1": CONV_VICUNA_V1,
     "vicuna_v1": CONV_VICUNA_V1,
     "plain": CONV_PLAIN,
+    "llama_2": CONV_LLAMA_2,
 }
 
 default_conversation = CONV_VICUNA_V1

@@ -126,3 +126,13 @@ class KeywordStopper:
                 return True
         text = self.tokenizer.decode(gen[-3:], skip_special_tokens=True)
         return any(kw in text for kw in self.keywords)
+
+
+def get_model_name_from_path(model_path: str) -> str:
+    """Checkpoint dir -> display name (parity: mm_utils.py:78-84 —
+    'checkpoint-N' dirs include the parent name)."""
+    model_path = model_path.strip("/")
+    parts = model_path.split("/")
+    if parts[-1].startswith("checkpoint-"):
+        return parts[-2] + "_" + parts[-1]
+    return parts[-1]
