@@ -97,10 +97,14 @@ def run(args, engine: GroundingEngine) -> Dict[str, int]:
     else:
         items = items[args.split * binsize : (args.split + 1) * binsize]
 
+    import time as _time
+
     errors, n_done = [], 0
+    latencies = []
     for qid, data in items:
         if qid in done:
             continue
+        _t0 = _time.time()
         try:
             movie = data.get("movie", data.get("clip_id", qid))
             features = vis_store.get(movie)
@@ -150,12 +154,25 @@ def run(args, engine: GroundingEngine) -> Dict[str, int]:
                 info={"iou": ious, "scores": scores},
             )
             n_done += 1
+            latencies.append(_time.time() - _t0)
         except Exception:
             if args.debug:
                 raise
             errors.append(qid)
     print("errors", errors, file=sys.stderr)
-    return {"done": n_done, "errors": len(errors)}
+    stats = {"done": n_done, "errors": len(errors)}
+    if latencies:
+        lat = np.sort(np.asarray(latencies))
+        stats["p50_latency_s"] = float(lat[len(lat) // 2])
+        stats["p95_latency_s"] = float(lat[int(len(lat) * 0.95)])
+        stats["queries_per_sec"] = float(len(lat) / lat.sum())
+        print(
+            f"{'stage1'}: p50 {stats['p50_latency_s']:.2f}s "
+            f"p95 {stats['p95_latency_s']:.2f}s "
+            f"{stats['queries_per_sec']:.3f} q/s",
+            file=sys.stderr,
+        )
+    return stats
 
 
 def main(argv=None):

@@ -116,10 +116,14 @@ def run(args, engine: GroundingEngine) -> Dict[str, int]:
             grounding_dict[gl["query_id"]] = gl
 
     rng = np.random.default_rng(args.seed)
+    import time as _time
+
     errors, n_done = [], 0
+    latencies = []
     for qid, data in items:
         if qid in done:
             continue
+        _t0 = _time.time()
         try:
             movie = data.get("movie", data.get("clip_id", qid))
             features = vis_store.get(movie)
@@ -170,12 +174,25 @@ def run(args, engine: GroundingEngine) -> Dict[str, int]:
                 },
             )
             n_done += 1
+            latencies.append(_time.time() - _t0)
         except Exception:
             if args.debug:
                 raise
             errors.append(qid)
     print("errors", errors, file=sys.stderr)
-    return {"done": n_done, "errors": len(errors)}
+    stats = {"done": n_done, "errors": len(errors)}
+    if latencies:
+        lat = np.sort(np.asarray(latencies))
+        stats["p50_latency_s"] = float(lat[len(lat) // 2])
+        stats["p95_latency_s"] = float(lat[int(len(lat) * 0.95)])
+        stats["queries_per_sec"] = float(len(lat) / lat.sum())
+        print(
+            f"{'stage2'}: p50 {stats['p50_latency_s']:.2f}s "
+            f"p95 {stats['p95_latency_s']:.2f}s "
+            f"{stats['queries_per_sec']:.3f} q/s",
+            file=sys.stderr,
+        )
+    return stats
 
 
 def main(argv=None):
