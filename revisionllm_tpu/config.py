@@ -322,3 +322,36 @@ def get_preset(name: str) -> WorkloadConfig:
     if name not in PRESETS:
         raise KeyError(f"Unknown preset {name!r}; available: {sorted(PRESETS)}")
     return PRESETS[name]()
+
+
+def workload_to_dict(wl: WorkloadConfig) -> dict:
+    """WorkloadConfig -> plain JSON-serializable dict (config-file support —
+    the reference pins workloads in shell scripts; here a preset can be dumped,
+    edited, and reloaded)."""
+    return dataclasses.asdict(wl)
+
+
+def workload_from_dict(d: dict) -> WorkloadConfig:
+    lora = d["train"].get("lora")
+    train = {**d["train"], "lora": LoraConfig(**{**lora, "target_patterns": tuple(lora["target_patterns"])}) if lora else None}
+    ev = {**d["eval"], "hierarchy_zooms": tuple(d["eval"]["hierarchy_zooms"])}
+    return WorkloadConfig(
+        name=d["name"],
+        model=LlamaConfig(**d["model"]),
+        adapter=AdapterConfig(**d["adapter"]),
+        data=DataConfig(**d["data"]),
+        train=TrainConfig(**train),
+        eval=EvalConfig(**ev),
+        mesh=MeshConfig(**d["mesh"]),
+    )
+
+
+def load_workload(path_or_preset: str) -> WorkloadConfig:
+    """Preset name or a .json config file path."""
+    import json as _json
+    import os as _os
+
+    if _os.path.isfile(path_or_preset):
+        with open(path_or_preset) as f:
+            return workload_from_dict(_json.load(f))
+    return get_preset(path_or_preset)
