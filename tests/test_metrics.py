@@ -143,3 +143,16 @@ class TestFusion:
         gl = {"query_id": "qX", "task": "grounding", "answer": [], "info": {"iou": [], "scores": []}}
         fused, _ = M.fuse_retrieval_grounding([gl], [])
         assert fused == []
+
+
+class TestMergeResultsCli:
+    def test_merge(self, tmp_path):
+        import json
+
+        from revisionllm_tpu.eval import merge_results
+
+        with open(tmp_path / "predictions_streaming_0.txt", "w") as f:
+            f.write(json.dumps({"task": "grounding", "query_id": "q1", "video_id": "m",
+                                "answer": ["x"], "info": {"iou": [0.6]}}) + "\n")
+        m = merge_results.main(["--log_path", str(tmp_path), "--total_split", "1"])
+        assert m["mIoU"] == pytest.approx(60.0)
