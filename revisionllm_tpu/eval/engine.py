@@ -224,14 +224,19 @@ class GroundingEngine:
             qc = jnp.asarray(query_cls, jnp.float32)
             maxlen = ecfg.num_frames
             P = len(frames)
-            padded = np.zeros((P, maxlen, windows.shape[-1]), np.float32)
-            valid = np.zeros((P, maxlen), bool)
+            # bucket the proposal count so one compiled program serves every
+            # query (a shape per P would recompile per query)
+            Pb = 8
+            while Pb < P:
+                Pb *= 2
+            padded = np.zeros((Pb, maxlen, windows.shape[-1]), np.float32)
+            valid = np.zeros((Pb, maxlen), bool)
             for j, (i, (f, t)) in enumerate(frames.items()):
                 prop = windows[i][f : t + 1].astype(np.float32)
                 padded[j, : len(prop)] = prop
                 valid[j, : len(prop)] = True
             score_fn = self._compiled.setdefault(
-                ("cosine", P, maxlen, windows.shape[-1]),
+                ("cosine", Pb, maxlen, windows.shape[-1]),
                 jax.jit(
                     jax.vmap(
                         lambda q, fr, va: proposal_cosine_scores(q, fr, va, k=3),
@@ -242,7 +247,7 @@ class GroundingEngine:
             # k=3 with validity masking equals the reference's k=min(len,3):
             # invalid top-k picks are zeroed before pooling
             scores_arr = np.asarray(score_fn(qc, jnp.asarray(padded), jnp.asarray(valid)))
-            score_cos = [float(x) for x in scores_arr]
+            score_cos = [float(x) for x in scores_arr[:P]]
 
         if ecfg.normalize:
             if score_cos:
