@@ -96,10 +96,13 @@ def main():
         rng.normal(size=(chunk, 25, 768)).astype(np.float32), dtype
     )
 
+    shared_prefix = prompt_ids.index(IMAGE_TOKEN_INDEX)  # tokens before <video>
+
     def run(params, vision, images, query_feats):
         out = revisionllm.generate_grounding(
             cfg, adapter_cfg, params, vision, plan, images, query_feats,
             eos_id=2, max_new_tokens=max_new_tokens,
+            shared_prefix_len=shared_prefix,
         )
         return out["tokens"], out["entropy_stats"]
 

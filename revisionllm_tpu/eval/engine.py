@@ -87,7 +87,7 @@ class GroundingEngine:
             out.append(text)
         return out
 
-    def _get_program(self, key: Tuple) -> Any:
+    def _get_program(self, key: Tuple, shared_prefix_len: int = 0) -> Any:
         if key not in self._compiled:
             cfg, acfg = self.llama_cfg, self.adapter_cfg
 
@@ -98,10 +98,25 @@ class GroundingEngine:
                     max_new_tokens=self.eval_cfg.max_new_tokens,
                     temperature=0.0 if self.eval_cfg.greedy else self.eval_cfg.temperature,
                     use_pallas=self.use_pallas,
+                    shared_prefix_len=shared_prefix_len,
                 )
 
             self._compiled[key] = jax.jit(run)
         return self._compiled[key]
+
+    @staticmethod
+    def _shared_prefix_len(plan_np: Dict[str, np.ndarray]) -> int:
+        """Identical-plan rows share every token before the first video slot
+        (text tokens are prompt-wide constants, video features differ)."""
+        from revisionllm_tpu.models.multimodal import KIND_VIDEO
+
+        kind = plan_np["kind"]
+        if kind.shape[0] < 2 or not (kind == kind[0]).all() or not (
+            plan_np["text_ids"] == plan_np["text_ids"][0]
+        ).all():
+            return 0
+        vid_pos = np.where(kind[0] == KIND_VIDEO)[0]
+        return int(vid_pos[0]) if len(vid_pos) else 0
 
     def _run_chunk(
         self,
@@ -111,6 +126,7 @@ class GroundingEngine:
         query_valid: Optional[np.ndarray],
     ) -> ChunkResult:
         dtype = jnp.dtype(self.llama_cfg.dtype)
+        spl = self._shared_prefix_len(plan_np)
         plan = {k: jnp.asarray(v) for k, v in plan_np.items()}
         images_j = jnp.asarray(images, dtype)
         if query_feats is not None:
@@ -120,9 +136,9 @@ class GroundingEngine:
             qf, qv = None, None
         key = (
             images_j.shape, plan["text_ids"].shape,
-            None if qf is None else qf.shape,
+            None if qf is None else qf.shape, spl,
         )
-        out = self._get_program(key)(
+        out = self._get_program(key, shared_prefix_len=spl)(
             self.params, self.vision_params, plan, images_j, qf, qv
         )
         return out  # device arrays; realized by _read_chunk

@@ -49,10 +49,13 @@ def generate(
     temperature: float = 0.0,
     rng: Optional[jax.Array] = None,
     use_pallas: Optional[bool] = None,
+    shared_prefix_len: int = 0,
 ) -> Dict[str, jnp.ndarray]:
     """Decode `max_new_tokens` for a right-padded batch of spliced prompts.
 
-    embeds [B, L, D], positions [B, L], prompt_lens [B].
+    embeds [B, L, D], positions [B, L], prompt_lens [B]. When all rows share
+    their first `shared_prefix_len` embeddings (the engine's window batches
+    do), the prefix forward runs once at B=1 (llama.prefill_shared_prefix).
     Returns dict with tokens/entropy/logprob/valid, each [B, G].
     """
     B, L, _ = embeds.shape
@@ -61,10 +64,16 @@ def generate(
         rng = jax.random.PRNGKey(0)
 
     prompt_lens = prompt_lens.astype(jnp.int32)
-    first_logits, prompt_kv = llama.prefill_kv(
-        cfg, params, embeds, positions, kv_lens=prompt_lens,
-        use_pallas=use_pallas, kv_quant=_kv8_enabled(),
-    )
+    if shared_prefix_len > 1 and B > 1:
+        first_logits, prompt_kv = llama.prefill_shared_prefix(
+            cfg, params, embeds, positions, prefix_len=shared_prefix_len,
+            kv_lens=prompt_lens, use_pallas=use_pallas, kv_quant=_kv8_enabled(),
+        )
+    else:
+        first_logits, prompt_kv = llama.prefill_kv(
+            cfg, params, embeds, positions, kv_lens=prompt_lens,
+            use_pallas=use_pallas, kv_quant=_kv8_enabled(),
+        )
     gen_cache = {
         "k": jnp.zeros(
             (cfg.num_layers, B, G, cfg.num_kv_heads, cfg.head_dim), embeds.dtype

@@ -561,3 +561,108 @@ def quantize_prompt_kv(prompt_kv: Params) -> Params:
         ).astype(jnp.int8)
         out[f"{name}_scale"] = scale
     return out
+
+
+def prefill_shared_prefix(
+    cfg: LlamaConfig,
+    params: Params,
+    embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    prefix_len: int,
+    kv_lens: Optional[jnp.ndarray] = None,
+    use_pallas: Optional[bool] = None,
+    kv_quant: bool = False,
+) -> Tuple[jnp.ndarray, Params]:
+    """Prefill where all rows share an identical prompt prefix.
+
+    Every window of one query sees the same system+question tokens before its
+    video block (the engine's splice plans are identical across rows), so the
+    prefix forward runs once at B=1 and only the per-row remainder pays B-way
+    compute — ~P/T of prefill FLOPs saved. The remainder attends to
+    [broadcast prefix kv | own causal block] via a logsumexp merge of two
+    attention pieces (ops.flash_attention.merge_attention_pieces).
+
+    embeds [B, T, D] (rows share embeds[:, :prefix_len]); returns
+    (last-position logits, full prompt kv) exactly like prefill_kv.
+    """
+    from revisionllm_tpu.ops.flash_attention import (
+        attention_lse,
+        merge_attention_pieces,
+    )
+
+    B, T, D = embeds.shape
+    P = prefix_len
+    H, KH, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    # 1) prefix once at B=1
+    _, prefix_kv = prefill_kv(
+        cfg, params, embeds[:1, :P], positions[:1, :P], use_pallas=use_pallas
+    )
+
+    # 2) remainder with two-piece attention per layer
+    rest = embeds[:, P:]
+    rest_pos = positions[:, P:]
+    T2 = T - P
+    cos, sin = rope_angles(rest_pos, _rotary_dim(cfg), cfg.rope_theta)
+    rest_lens = None
+    if kv_lens is not None:
+        rest_lens = jnp.maximum(kv_lens.astype(jnp.int32) - P, 0)
+
+    def layer(x, xs):
+        lp, pk, pv = xs  # pk/pv: [1, P, KH, hd]
+        h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+        if "qkv_proj" in lp:
+            qkv = q8_apply(h, lp["qkv_proj"])
+            q_out, kv_out = H * hd, KH * hd
+            q = qkv[..., :q_out].reshape(B, T2, H, hd)
+            k = qkv[..., q_out : q_out + kv_out].reshape(B, T2, KH, hd)
+            v = qkv[..., q_out + kv_out :].reshape(B, T2, KH, hd)
+        else:
+            q = q8_apply(h, lp["q_proj"]).reshape(B, T2, H, hd)
+            k = q8_apply(h, lp["k_proj"]).reshape(B, T2, KH, hd)
+            v = q8_apply(h, lp["v_proj"]).reshape(B, T2, KH, hd)
+        if cfg.qkv_bias:
+            q = q + lp["q_bias"].reshape(H, hd)
+            k = k + lp["k_bias"].reshape(KH, hd)
+            v = v + lp["v_bias"].reshape(KH, hd)
+        q = _rope(cfg, q, cos, sin)
+        k = _rope(cfg, k, cos, sin)
+
+        # piece 1: full visibility of the shared prefix (B=1 kv broadcasts)
+        pk_b = jnp.broadcast_to(pk, (B,) + pk.shape[1:])
+        pv_b = jnp.broadcast_to(pv, (B,) + pv.shape[1:])
+        o1, lse1 = attention_lse(q, pk_b, pv_b, causal=False, use_pallas=use_pallas)
+        # piece 2: causal over the remainder (local positions align)
+        o2, lse2 = attention_lse(
+            q, k, v, causal=True, kv_lens=rest_lens, use_pallas=use_pallas
+        )
+        o = merge_attention_pieces(o1, lse1, o2, lse2)
+        o = o.reshape(B, T2, H * hd)
+        o = q8_apply(o, lp["o_proj"])
+        x = x + o
+        h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+        x = x + _mlp_block(lp, None, 0.0, h)
+        return x, (k, v)
+
+    hidden, (rk, rv) = jax.lax.scan(
+        layer, rest, (params["layers"], prefix_kv["k"], prefix_kv["v"])
+    )
+    hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+
+    if kv_lens is None:
+        last = hidden[:, -1]
+    else:
+        idx = jnp.maximum(kv_lens - 1 - P, 0)
+        last = jnp.take_along_axis(hidden, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    logits = logits_from_hidden(params, last)
+
+    k_full = jnp.concatenate(
+        [jnp.broadcast_to(prefix_kv["k"], (cfg.num_layers, B, P, KH, hd)), rk], axis=2
+    )
+    v_full = jnp.concatenate(
+        [jnp.broadcast_to(prefix_kv["v"], (cfg.num_layers, B, P, KH, hd)), rv], axis=2
+    )
+    cache = {"k": k_full, "v": v_full}
+    if kv_quant:
+        cache = quantize_prompt_kv(cache)
+    return logits, cache

@@ -195,11 +195,14 @@ def generate_grounding(
     temperature: float = 0.0,
     rng: Optional[jax.Array] = None,
     use_pallas: Optional[bool] = None,
+    shared_prefix_len: int = 0,
 ) -> Dict[str, jnp.ndarray]:
     """Full inference call: encode windows -> splice -> batched decode.
 
     The per-call equivalent of reference inference.py:28-75 (model.generate
     with output_scores), returning tokens + inline confidence signals.
+    `shared_prefix_len` marks identical leading tokens across rows (window
+    batches share their prompt prefix) for single-pass prefix prefill.
     """
     video_tokens = encode_video(
         adapter_cfg, vision_params, images, query_feats, query_valid
@@ -210,7 +213,7 @@ def generate_grounding(
     out = generation.generate(
         cfg, params, embeds, positions, lengths,
         eos_id=eos_id, max_new_tokens=max_new_tokens, temperature=temperature,
-        rng=rng, use_pallas=use_pallas,
+        rng=rng, use_pallas=use_pallas, shared_prefix_len=shared_prefix_len,
     )
     out["entropy_stats"] = generation.entropy_stats_from_steps(
         out["entropy"], out["valid"]

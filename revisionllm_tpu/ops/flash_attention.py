@@ -634,3 +634,141 @@ def trainable_attention(
     if key not in _FLASH_MHA_CACHE:
         _FLASH_MHA_CACHE[key] = make_flash_mha(causal=causal, sm_scale=sm_scale)
     return _FLASH_MHA_CACHE[key](q, k, v, kv_lens)
+
+
+def flash_attention_lse(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = True,
+    kv_lens: Optional[jnp.ndarray] = None,
+    sm_scale: Optional[float] = None,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> tuple:
+    """Like `flash_attention` but also returns per-row logsumexp [B, T, H]
+    (fp32) — the quantity needed to merge attention pieces computed over
+    disjoint kv sets (shared-prefix prefill)."""
+    B, T, H, d = q.shape
+    S, KH = k.shape[1], k.shape[2]
+    group = H // KH
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    bq = min(block_q, max(T, 1))
+    bk = min(block_k, max(S, 1))
+
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    pad_t = (-T) % bq
+    pad_s = (-S) % bk
+    if pad_t:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+    if pad_s:
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
+    Tp, Sp = T + pad_t, S + pad_s
+    if kv_lens is None:
+        kv_lens = jnp.full((B,), S, dtype=jnp.int32)
+    kv_lens = jnp.minimum(kv_lens.astype(jnp.int32), S)
+    nq, nk = Tp // bq, Sp // bk
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda b, h, iq, ik, kv: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda b, h, iq, ik, kv: (b, h // group, ik, 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda b, h, iq, ik, kv: (b, h // group, ik, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda b, h, iq, ik, kv: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, bq, 128), lambda b, h, iq, ik, kv: (b, h, iq, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+    )
+    o, lse = pl.pallas_call(
+        functools.partial(
+            _flash_fwd_lse_kernel, causal=causal, sm_scale=sm_scale,
+            block_q=bq, block_k=bk, num_kv_blocks=nk,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Tp, d), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Tp, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kv_lens, qt, kt, vt)
+    o = jnp.swapaxes(o[:, :, :T], 1, 2)            # [B, T, H, d]
+    lse = jnp.swapaxes(lse[:, :, :T, 0], 1, 2)     # [B, T, H]
+    return o, lse
+
+
+def mha_reference_lse(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = True,
+    kv_lens: Optional[jnp.ndarray] = None,
+    sm_scale: Optional[float] = None,
+) -> tuple:
+    """jnp twin of flash_attention_lse (CPU tests / prefix pieces)."""
+    B, T, H, d = q.shape
+    S, KH = k.shape[1], k.shape[2]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    if KH != H:
+        rep = H // KH
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    s = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32), k.astype(jnp.float32)) * sm_scale
+    mask = jnp.ones((B, 1, T, S), dtype=bool)
+    if kv_lens is not None:
+        col = jnp.arange(S)[None, None, None, :]
+        mask = jnp.logical_and(mask, col < kv_lens[:, None, None, None])
+    if causal:
+        row = jnp.arange(T)[:, None]
+        col = jnp.arange(S)[None, :]
+        mask = jnp.logical_and(mask, (row >= col)[None, None])
+    s = jnp.where(mask, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bhts,bshd->bthd", p / jnp.where(l == 0, 1.0, l), v.astype(jnp.float32))
+    lse = jnp.where(l[..., 0] > 0, m[..., 0] + jnp.log(jnp.where(l[..., 0] == 0, 1.0, l[..., 0])), -NEG_INF)
+    return o.astype(q.dtype), jnp.swapaxes(lse, 1, 2)  # [B,T,H,d], [B,T,H]
+
+
+def attention_lse(
+    q, k, v, *, causal=True, kv_lens=None, sm_scale=None, use_pallas=None
+):
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu", "gpu")
+    if use_pallas:
+        return flash_attention_lse(q, k, v, causal=causal, kv_lens=kv_lens, sm_scale=sm_scale)
+    return mha_reference_lse(q, k, v, causal=causal, kv_lens=kv_lens, sm_scale=sm_scale)
+
+
+def merge_attention_pieces(o1, lse1, o2, lse2):
+    """Combine two attention outputs computed over disjoint kv sets.
+
+    oi: [B, T, H, d] (normalized within piece), lsei: [B, T, H].
+    Standard logsumexp merge: o = (o1*w1 + o2*w2), wi = softmax over pieces.
+    """
+    m = jnp.maximum(lse1, lse2)
+    w1 = jnp.exp(lse1 - m)
+    w2 = jnp.exp(lse2 - m)
+    denom = w1 + w2
+    w1 = (w1 / denom)[..., None]
+    w2 = (w2 / denom)[..., None]
+    return (o1.astype(jnp.float32) * w1 + o2.astype(jnp.float32) * w2).astype(o1.dtype)

@@ -82,3 +82,56 @@ class TestPallasKernel:
             np.asarray(out, dtype=np.float32), np.asarray(ref, dtype=np.float32),
             rtol=5e-2, atol=5e-2,
         )
+
+
+class TestLseAndMerge:
+    def test_lse_pieces_merge_to_full(self):
+        """Attention over [prefix | rest] computed as two pieces and merged by
+        logsumexp must equal attention over the concatenation — the identity
+        the shared-prefix prefill relies on."""
+        from revisionllm_tpu.ops.flash_attention import (
+            attention_lse,
+            merge_attention_pieces,
+            mha_reference,
+        )
+
+        rng = np.random.default_rng(0)
+        B, T, P, H, d = 2, 8, 5, 2, 16
+        q = jnp.asarray(rng.normal(size=(B, T, H, d)), jnp.float32)
+        k_pre = jnp.asarray(rng.normal(size=(B, P, H, d)), jnp.float32)
+        v_pre = jnp.asarray(rng.normal(size=(B, P, H, d)), jnp.float32)
+        k_new = jnp.asarray(rng.normal(size=(B, T, H, d)), jnp.float32)
+        v_new = jnp.asarray(rng.normal(size=(B, T, H, d)), jnp.float32)
+
+        o1, lse1 = attention_lse(q, k_pre, v_pre, causal=False, use_pallas=False)
+        o2, lse2 = attention_lse(q, k_new, v_new, causal=True, use_pallas=False)
+        merged = merge_attention_pieces(o1, lse1, o2, lse2)
+
+        # full attention: prefix fully visible + causal over the new block
+        k_full = jnp.concatenate([k_pre, k_new], axis=1)
+        v_full = jnp.concatenate([v_pre, v_new], axis=1)
+        s = jnp.einsum("bthd,bshd->bhts", q, k_full) / np.sqrt(d)
+        row = jnp.arange(T)[:, None]
+        col = jnp.arange(T)[None, :]
+        causal_mask = jnp.concatenate(
+            [jnp.ones((T, P), bool), row >= col], axis=1
+        )
+        s = jnp.where(causal_mask[None, None], s, -2e30)
+        p = jax.nn.softmax(s, axis=-1)
+        want = jnp.einsum("bhts,bshd->bthd", p, v_full)
+        np.testing.assert_allclose(
+            np.asarray(merged), np.asarray(want), rtol=2e-4, atol=2e-5
+        )
+
+    def test_pallas_lse_matches_reference(self):
+        from revisionllm_tpu.ops.flash_attention import (
+            flash_attention_lse,
+            mha_reference_lse,
+        )
+
+        rng = np.random.default_rng(1)
+        q, k, v = (jnp.asarray(rng.normal(size=(1, 256, 2, 128)), jnp.float32) for _ in range(3))
+        o_p, lse_p = flash_attention_lse(q, k, v, causal=True, interpret=True)
+        o_r, lse_r = mha_reference_lse(q, k, v, causal=True)
+        np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_r), rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(lse_p), np.asarray(lse_r), rtol=1e-3, atol=1e-3)

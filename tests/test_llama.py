@@ -232,3 +232,51 @@ class TestFusedLayout:
         pos = jnp.arange(8)[None]
         h = llama.forward_hidden(cfg, qf, e, pos)
         assert np.isfinite(np.asarray(h)).all()
+
+
+class TestSharedPrefixPrefill:
+    def test_matches_regular_prefill(self, setup):
+        """Shared-prefix prefill must produce the same logits and prompt kv as
+        the regular prefill when rows genuinely share a prefix."""
+        cfg, params = setup
+        from revisionllm_tpu.models import llama as L
+
+        B, P, T = 3, 5, 12
+        rng = np.random.default_rng(7)
+        prefix = rng.integers(3, cfg.vocab_size, (1, P))
+        rest = rng.integers(3, cfg.vocab_size, (B, T - P))
+        ids = jnp.asarray(np.concatenate([np.repeat(prefix, B, 0), rest], axis=1))
+        pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+        lens = jnp.full((B,), T, jnp.int32)
+        e = L.embed_tokens(params, ids)
+
+        logits_ref, kv_ref = L.prefill_kv(cfg, params, e, pos, kv_lens=lens)
+        logits_sp, kv_sp = L.prefill_shared_prefix(
+            cfg, params, e, pos, prefix_len=P, kv_lens=lens
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits_sp), np.asarray(logits_ref), rtol=2e-4, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(kv_sp["k"]), np.asarray(kv_ref["k"]), rtol=2e-4, atol=2e-4
+        )
+
+    def test_ragged_rows(self, setup):
+        cfg, params = setup
+        from revisionllm_tpu.models import llama as L
+
+        B, P, T = 2, 4, 10
+        rng = np.random.default_rng(8)
+        prefix = rng.integers(3, cfg.vocab_size, (1, P))
+        rest = rng.integers(3, cfg.vocab_size, (B, T - P))
+        ids = jnp.asarray(np.concatenate([np.repeat(prefix, B, 0), rest], axis=1))
+        pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+        lens = jnp.asarray([7, 10], jnp.int32)
+        e = L.embed_tokens(params, ids)
+        logits_ref, _ = L.prefill_kv(cfg, params, e, pos, kv_lens=lens)
+        logits_sp, _ = L.prefill_shared_prefix(
+            cfg, params, e, pos, prefix_len=P, kv_lens=lens
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits_sp), np.asarray(logits_ref), rtol=2e-4, atol=2e-4
+        )
