@@ -96,7 +96,12 @@ def main():
         rng.normal(size=(chunk, 25, 768)).astype(np.float32), dtype
     )
 
-    shared_prefix = prompt_ids.index(IMAGE_TOKEN_INDEX)  # tokens before <video>
+    # shared-prefix prefill measured -3% at chunk 32 (see BENCH_NOTES); opt-in
+    shared_prefix = (
+        prompt_ids.index(IMAGE_TOKEN_INDEX)
+        if os.environ.get("REVISIONLLM_SHARED_PREFIX", "0") == "1"
+        else 0
+    )
 
     def run(params, vision, images, query_feats):
         out = revisionllm.generate_grounding(

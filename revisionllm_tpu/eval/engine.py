@@ -107,7 +107,16 @@ class GroundingEngine:
     @staticmethod
     def _shared_prefix_len(plan_np: Dict[str, np.ndarray]) -> int:
         """Identical-plan rows share every token before the first video slot
-        (text tokens are prompt-wide constants, video features differ)."""
+        (text tokens are prompt-wide constants, video features differ).
+
+        Opt-in (REVISIONLLM_SHARED_PREFIX=1): measured neutral-to-negative at
+        chunk 32 — the two-piece attention's lane-replicated LSE writes
+        (~200 MB/layer/piece) outweigh the ~13% prefix FLOP saving. A fused
+        prefix+causal kernel (no LSE round-trip) is the round-2 fix."""
+        import os
+
+        if os.environ.get("REVISIONLLM_SHARED_PREFIX", "0") != "1":
+            return 0
         from revisionllm_tpu.models.multimodal import KIND_VIDEO
 
         kind = plan_np["kind"]
