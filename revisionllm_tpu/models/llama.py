@@ -587,8 +587,14 @@ def prefill_shared_prefix(
     """
     from revisionllm_tpu.ops.flash_attention import (
         attention_lse,
+        flash_attention_prefixed,
         merge_attention_pieces,
     )
+
+    if use_pallas is None:
+        use_pallas_resolved = jax.default_backend() not in ("cpu", "gpu")
+    else:
+        use_pallas_resolved = use_pallas
 
     B, T, D = embeds.shape
     P = prefix_len
@@ -628,15 +634,18 @@ def prefill_shared_prefix(
         q = _rope(cfg, q, cos, sin)
         k = _rope(cfg, k, cos, sin)
 
-        # piece 1: full visibility of the shared prefix (B=1 kv broadcasts)
-        pk_b = jnp.broadcast_to(pk, (B,) + pk.shape[1:])
-        pv_b = jnp.broadcast_to(pv, (B,) + pv.shape[1:])
-        o1, lse1 = attention_lse(q, pk_b, pv_b, causal=False, use_pallas=use_pallas)
-        # piece 2: causal over the remainder (local positions align)
-        o2, lse2 = attention_lse(
-            q, k, v, causal=True, kv_lens=rest_lens, use_pallas=use_pallas
-        )
-        o = merge_attention_pieces(o1, lse1, o2, lse2)
+        if use_pallas_resolved:
+            # one fused kernel: prefix kv blocks stream through the same
+            # online softmax as the causal blocks — no LSE round-trip
+            o = flash_attention_prefixed(q, k, v, pk, pv, kv_lens=rest_lens)
+        else:
+            pk_b = jnp.broadcast_to(pk, (B,) + pk.shape[1:])
+            pv_b = jnp.broadcast_to(pv, (B,) + pv.shape[1:])
+            o1, lse1 = attention_lse(q, pk_b, pv_b, causal=False, use_pallas=False)
+            o2, lse2 = attention_lse(
+                q, k, v, causal=True, kv_lens=rest_lens, use_pallas=False
+            )
+            o = merge_attention_pieces(o1, lse1, o2, lse2)
         o = o.reshape(B, T2, H * hd)
         o = q8_apply(o, lp["o_proj"])
         x = x + o

@@ -772,3 +772,185 @@ def merge_attention_pieces(o1, lse1, o2, lse2):
     w1 = (w1 / denom)[..., None]
     w2 = (w2 / denom)[..., None]
     return (o1.astype(jnp.float32) * w1 + o2.astype(jnp.float32) * w2).astype(o1.dtype)
+
+
+def _flash_prefix_kernel(
+    kv_lens_ref,  # [B] int32 (SMEM scalar prefetch)
+    q_ref,        # [1, 1, block_q, d]
+    pk_ref,       # [1, 1, block_k, d]  (prefix blocks, B=1 broadcast)
+    pv_ref,
+    k_ref,        # [1, 1, block_k, d]  (causal blocks)
+    v_ref,
+    o_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *,
+    sm_scale: float,
+    block_q: int,
+    block_k: int,
+    num_prefix_blocks: int,
+    num_kv_blocks: int,
+    prefix_len: int,
+):
+    """Causal flash attention with a fully-visible shared prefix: the kv grid
+    walks prefix blocks first (mask: col < prefix_len), then the causal blocks
+    (local coordinates). One online softmax; no LSE materialization."""
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    total_blocks = num_prefix_blocks + num_kv_blocks
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    kv_len = kv_lens_ref[b]
+    is_prefix = ik < num_prefix_blocks
+    causal_idx = ik - num_prefix_blocks  # valid when not prefix
+    block_live = jnp.logical_or(
+        is_prefix,
+        jnp.logical_and(
+            (causal_idx * block_k) < kv_len,
+            (causal_idx * block_k) <= (iq * block_q + block_q - 1),
+        ),
+    )
+
+    @pl.when(block_live)
+    def _compute():
+        kblk = jnp.where(is_prefix, pk_ref[0, 0].astype(jnp.float32),
+                         k_ref[0, 0].astype(jnp.float32)).astype(q_ref.dtype)
+        vblk = jnp.where(is_prefix, pv_ref[0, 0].astype(jnp.float32),
+                         v_ref[0, 0].astype(jnp.float32)).astype(q_ref.dtype)
+        s = jax.lax.dot_general(
+            q_ref[0, 0], kblk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        row = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        prefix_mask = (ik * block_k + col) < prefix_len
+        local_col = causal_idx * block_k + col
+        causal_mask = jnp.logical_and(local_col < kv_len, row >= local_col)
+        mask = jnp.where(is_prefix, prefix_mask, causal_mask)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scratch[:, :1]
+        l_prev = l_scratch[:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
+        l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
+        pv_out = jax.lax.dot_general(
+            p.astype(vblk.dtype), vblk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scratch[...] = acc_scratch[...] * alpha + pv_out
+
+    @pl.when(ik == total_blocks - 1)
+    def _finalize():
+        l = l_scratch[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0, ...] = (acc_scratch[...] / l_safe).astype(o_ref.dtype)
+
+
+def flash_attention_prefixed(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    prefix_k: jnp.ndarray,
+    prefix_v: jnp.ndarray,
+    *,
+    kv_lens: Optional[jnp.ndarray] = None,
+    sm_scale: Optional[float] = None,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """q/k/v: [B, T, H|KH, d] (causal, local positions); prefix_k/v:
+    [1, P, KH, d], fully visible to every query row. One fused kernel."""
+    B, T, H, d = q.shape
+    KH = k.shape[2]
+    group = H // KH
+    P = prefix_k.shape[1]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    bq = min(block_q, max(T, 1))
+    bk = block_k
+
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    pkt = jnp.swapaxes(prefix_k, 1, 2)
+    pvt = jnp.swapaxes(prefix_v, 1, 2)
+    pad_t = (-T) % bq
+    pad_s = (-T) % bk
+    pad_p = (-P) % bk
+    qt = _pad_bhtd(qt, pad_t)
+    kt = _pad_bhtd(kt, pad_s)
+    vt = _pad_bhtd(vt, pad_s)
+    pkt = _pad_bhtd(pkt, pad_p)
+    pvt = _pad_bhtd(pvt, pad_p)
+    Tp, Pp = T + pad_t, P + pad_p
+    Sp = T + pad_s
+    if kv_lens is None:
+        kv_lens = jnp.full((B,), T, dtype=jnp.int32)
+    kv_lens = jnp.minimum(kv_lens.astype(jnp.int32), T)
+    nq = Tp // bq
+    npk = Pp // bk
+    nk = Sp // bk
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H, nq, npk + nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda b, h, iq, ik, kv: (b, h, iq, 0)),
+            pl.BlockSpec(
+                (1, 1, bk, d),
+                lambda b, h, iq, ik, kv: (0, h // group, jnp.minimum(ik, npk - 1), 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, bk, d),
+                lambda b, h, iq, ik, kv: (0, h // group, jnp.minimum(ik, npk - 1), 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, bk, d),
+                lambda b, h, iq, ik, kv: (b, h // group, jnp.clip(ik - npk, 0, nk - 1), 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, bk, d),
+                lambda b, h, iq, ik, kv: (b, h // group, jnp.clip(ik - npk, 0, nk - 1), 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda b, h, iq, ik, kv: (b, h, iq, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_prefix_kernel, sm_scale=sm_scale, block_q=bq, block_k=bk,
+            num_prefix_blocks=npk, num_kv_blocks=nk, prefix_len=P,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, Tp, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kv_lens, qt, pkt, pvt, kt, vt)
+    return jnp.swapaxes(out[:, :, :T], 1, 2)
+
+
+def prefixed_attention_reference(q, k, v, prefix_k, prefix_v, *, kv_lens=None, sm_scale=None):
+    """jnp twin of flash_attention_prefixed (CPU path)."""
+    B = q.shape[0]
+    pk = jnp.broadcast_to(prefix_k, (B,) + prefix_k.shape[1:])
+    pv = jnp.broadcast_to(prefix_v, (B,) + prefix_v.shape[1:])
+    o1, lse1 = mha_reference_lse(q, pk, pv, causal=False, sm_scale=sm_scale)
+    o2, lse2 = mha_reference_lse(q, k, v, causal=True, kv_lens=kv_lens, sm_scale=sm_scale)
+    return merge_attention_pieces(o1, lse1, o2, lse2)

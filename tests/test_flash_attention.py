@@ -135,3 +135,42 @@ class TestLseAndMerge:
         o_r, lse_r = mha_reference_lse(q, k, v, causal=True)
         np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_r), rtol=2e-3, atol=2e-3)
         np.testing.assert_allclose(np.asarray(lse_p), np.asarray(lse_r), rtol=1e-3, atol=1e-3)
+
+
+class TestPrefixedKernel:
+    @pytest.mark.parametrize("P,T", [(40, 200), (128, 256)])
+    def test_matches_reference(self, P, T):
+        from revisionllm_tpu.ops.flash_attention import (
+            flash_attention_prefixed,
+            prefixed_attention_reference,
+        )
+
+        rng = np.random.default_rng(0)
+        B, H, d = 2, 2, 128
+        q = jnp.asarray(rng.normal(size=(B, T, H, d)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, T, H, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, T, H, d)), jnp.float32)
+        pk = jnp.asarray(rng.normal(size=(1, P, H, d)), jnp.float32)
+        pv = jnp.asarray(rng.normal(size=(1, P, H, d)), jnp.float32)
+
+        want = prefixed_attention_reference(q, k, v, pk, pv)
+        got = flash_attention_prefixed(q, k, v, pk, pv, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+    def test_ragged_kv_lens(self):
+        from revisionllm_tpu.ops.flash_attention import (
+            flash_attention_prefixed,
+            prefixed_attention_reference,
+        )
+
+        rng = np.random.default_rng(1)
+        B, T, P, H, d = 2, 128, 44, 2, 128
+        q = jnp.asarray(rng.normal(size=(B, T, H, d)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, T, H, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, T, H, d)), jnp.float32)
+        pk = jnp.asarray(rng.normal(size=(1, P, H, d)), jnp.float32)
+        pv = jnp.asarray(rng.normal(size=(1, P, H, d)), jnp.float32)
+        lens = jnp.asarray([100, 128], jnp.int32)
+        want = prefixed_attention_reference(q, k, v, pk, pv, kv_lens=lens)
+        got = flash_attention_prefixed(q, k, v, pk, pv, kv_lens=lens, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
