@@ -831,7 +831,11 @@ def _flash_prefix_kernel(
         prefix_mask = (ik * block_k + col) < prefix_len
         local_col = causal_idx * block_k + col
         causal_mask = jnp.logical_and(local_col < kv_len, row >= local_col)
-        mask = jnp.where(is_prefix, prefix_mask, causal_mask)
+        # Mosaic cannot select between i1 vectors; compose logically
+        mask = jnp.logical_or(
+            jnp.logical_and(is_prefix, prefix_mask),
+            jnp.logical_and(jnp.logical_not(is_prefix), causal_mask),
+        )
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_scratch[:, :1]
