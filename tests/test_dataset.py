@@ -352,3 +352,50 @@ class TestT2V:
         )
         item = ds[0]
         assert item["image"].shape == (16, 16)
+
+
+class TestCropInvariants:
+    """Property tests over many seeds: the random crop must always contain the
+    GT, and the substituted answer tokens must be in-range two-digit frame
+    indices (reference dataset.py:778-832 semantics)."""
+
+    def test_gt_inside_crop_many_seeds(self, data_dir):
+        import re
+
+        for seed in range(12):
+            cfg = DataConfig(
+                data_path=str(data_dir / "train.json"), feat_folder=str(data_dir),
+                q_feat_dir=str(data_dir / "queries.rvfs"), vis_feat_storage="npy",
+                num_frames=64, feature_fps=5.0, debug_window=100,
+            )
+            ds = GroundingDataset(
+                str(data_dir / "train.json"), FakeTokenizer(), cfg,
+                rng=np.random.default_rng(seed), debug=True,
+            )
+            item = ds[seed % 4]
+            s, e = item["start_end_frame"]
+            # frame-token range
+            assert 0 <= s <= e <= cfg.num_frames - 1
+            # answer text contains exactly those two-digit tokens
+            text = " ".join(
+                ds.tokenizer.inv.get(int(t), "?") for t in item["input_ids"] if int(t) > 2
+            )
+            m = re.search(r"From (\d+) to (\d+)", text)
+            assert m and int(m.group(1)) == s and int(m.group(2)) == e
+
+    def test_negative_answer_rewritten(self, data_dir):
+        for seed in range(6):
+            cfg = DataConfig(
+                data_path=str(data_dir / "train.json"), feat_folder=str(data_dir),
+                q_feat_dir=str(data_dir / "queries.rvfs"), vis_feat_storage="npy",
+                num_frames=64, feature_fps=5.0, debug_window=100,
+            )
+            ds = GroundingDataset(
+                str(data_dir / "train.json"), FakeTokenizer(), cfg,
+                rng=np.random.default_rng(100 + seed), debug=True,
+            )
+            item = ds.getitem(seed % 4, neg=True)
+            text = " ".join(
+                ds.tokenizer.inv.get(int(t), "?") for t in item["input_ids"] if int(t) > 2
+            )
+            assert "Not Present" in text

@@ -216,3 +216,58 @@ class TestBaselineModes:
         engine_b = GroundingEngine(cfg, acfg, params, vision, tok, ecfg_b)
         res_b = engine_b.ground_windows(feats, "a dog")
         assert len(res_b["answers"]) == 1
+
+
+class TestGroundingPrefilter:
+    def test_stage2_with_grounding_path(self, eval_data, tmp_path):
+        """Stage-2 pre-filtered by a stage-1 log (the --grounding_path flow,
+        reference eval_nlq_retrieval_e2e2.py:278-294)."""
+        import json as _json
+
+        from revisionllm_tpu.config import AdapterConfig, EvalConfig, LlamaConfig
+        from revisionllm_tpu.eval.engine import GroundingEngine
+        from revisionllm_tpu.models import llama as L, revisionllm as RV
+
+        # synthesize a stage-1 log: windows 0,3 are hits
+        gdir = tmp_path / "g"
+        gdir.mkdir()
+        answers = ["Not Present"] * 19
+        answers[0] = "From 1 to 5."
+        answers[3] = "From 2 to 6."
+        with open(gdir / "predictions_streaming_0.txt", "w") as f:
+            for qid in ("q1", "q2"):
+                f.write(_json.dumps({
+                    "video_id": "m1", "task": "grounding", "query_id": qid,
+                    "answer": answers, "info": {"iou": [0.5, 0.5], "scores": [1.0, 0.9]},
+                }) + "\n")
+
+        cfg = LlamaConfig(**{**LlamaConfig.tiny().__dict__, "dtype": "float32"})
+        acfg = AdapterConfig(
+            d_model=16, num_heads=4, num_layers=2, ffn_dim=32,
+            hidden_size=cfg.hidden_size, clip_adapter_text=True, hierarchy=True,
+            feature_mode="cls",
+        )
+        params = L.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+        vision = RV.init_vision_params(acfg, jax.random.PRNGKey(1), d_in=16)
+        tok = FakeTokenizer()
+        for i in range(300):
+            tok._id(str(i))
+        ecfg = EvalConfig(
+            debug_window=20, num_frames=16, feature_fps=2.0, batch=8, stride=5,
+            max_new_tokens=4, hierarchy_zooms=(1,),
+        )
+        engine = GroundingEngine(cfg, acfg, params, vision, tok, ecfg)
+
+        args = argparse.Namespace(
+            data_path=str(eval_data / "val.json"), feat_folder=str(eval_data),
+            q_feat_dir=None, log_path=str(tmp_path / "s2pf"),
+            grounding_path=str(gdir),
+            debug_window=20, num_frames=16, feature_fps=2.0,
+            batch=8, stride=5, split=0, total_split=1,
+            distributed_retrieval=1, single=True,
+            max_new_tokens=4, seed=42, debug=True,
+        )
+        out = stage2.run(args, engine)
+        assert out["done"] == 2 and out["errors"] == 0
+        logs = M.load_prediction_logs(str(tmp_path / "s2pf"), 1)
+        assert len(logs) == 2
