@@ -139,3 +139,54 @@ class TestTrainStep:
             vision, jax.random.PRNGKey(0), prior_lora=lora_prior,
         )
         assert t["lora"] is lora_prior
+
+
+class TestShardedServing:
+    def test_sharded_generate_matches_single_device(self, tiny):
+        """Generation over a (data, fsdp, tensor) mesh must produce the same
+        greedy tokens as the single-device path."""
+        cfg, _, params, _ = tiny
+        from revisionllm_tpu.models import generation, llama
+        from revisionllm_tpu.parallel import serve
+
+        B, P, G = 4, 6, 5
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(3, cfg.vocab_size, (B, P)))
+        embeds = llama.embed_tokens(params, ids)
+        pos = jnp.broadcast_to(jnp.arange(P), (B, P))
+        lens = jnp.full((B,), P, jnp.int32)
+
+        want = generation.generate(cfg, params, embeds, pos, lens, eos_id=2, max_new_tokens=G)
+
+        mesh = mesh_lib.create_mesh(2, 2, 2)
+        sharded = serve.shard_params_for_inference(mesh, params)
+        gen = serve.make_sharded_generate(cfg, mesh, eos_id=2, max_new_tokens=G)
+        with mesh:
+            got = gen(sharded, embeds, pos, lens)
+        np.testing.assert_array_equal(
+            np.asarray(want["tokens"]), np.asarray(got["tokens"])
+        )
+
+    def test_sharded_generate_quantized(self, tiny):
+        cfg, _, params, _ = tiny
+        from revisionllm_tpu.models import generation, llama
+        from revisionllm_tpu.ops.quant import quantize_llama_params
+        from revisionllm_tpu.parallel import serve
+
+        qparams = quantize_llama_params(params)
+        B, P, G = 4, 5, 3
+        rng = np.random.default_rng(1)
+        ids = jnp.asarray(rng.integers(3, cfg.vocab_size, (B, P)))
+        embeds = llama.embed_tokens(qparams, ids)
+        pos = jnp.broadcast_to(jnp.arange(P), (B, P))
+        lens = jnp.full((B,), P, jnp.int32)
+        want = generation.generate(cfg, qparams, embeds, pos, lens, eos_id=2, max_new_tokens=G)
+
+        mesh = mesh_lib.create_mesh(2, 2, 2)
+        sharded = serve.shard_params_for_inference(mesh, qparams)
+        gen = serve.make_sharded_generate(cfg, mesh, eos_id=2, max_new_tokens=G)
+        with mesh:
+            got = gen(sharded, embeds, pos, lens)
+        np.testing.assert_array_equal(
+            np.asarray(want["tokens"]), np.asarray(got["tokens"])
+        )
