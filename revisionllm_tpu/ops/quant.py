@@ -167,6 +167,8 @@ def q8_apply(
     XLA convert+dot path is equally fast there and avoids extra Mosaic kernel
     compiles (remote compile costs ~minutes per kernel shape on axon).
     On non-TPU backends (tests) the int8 path always dequantizes via jnp."""
+    if isinstance(w, dict) and "q4" in w:
+        return q4_apply(x, w, use_pallas=use_pallas)
     if not (isinstance(w, dict) and "q8" in w):
         return x @ w
     if use_pallas is None:
@@ -196,4 +198,162 @@ def quantize_llama_params(params, quantize_lm_head: bool = True):
     if quantize_lm_head:
         q, s = quantize_int8(params["lm_head"])
         out["lm_head"] = {"q8": q, "scale": s}
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Int4 (W4A16) — group-wise quantization, packed two nibbles per byte
+# ---------------------------------------------------------------------------
+
+
+def quantize_int4(w: jnp.ndarray, group: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """w: [K, N] -> (packed uint8 [K//2, N], scales fp32 [K//group, N]).
+
+    Group-wise absmax along K (per output channel): int4 range [-7, 7].
+    Rows 2i (low nibble) and 2i+1 (high nibble) pack into byte i. The int4
+    counterpart of the reference's cpm int4 kernels
+    (model/chatglm/quantization.py:29-40)."""
+    K, N = w.shape[-2], w.shape[-1]
+    assert K % group == 0 and K % 2 == 0
+    wf = w.astype(jnp.float32).reshape(*w.shape[:-2], K // group, group, N)
+    absmax = jnp.max(jnp.abs(wf), axis=-2)  # [..., K//group, N]
+    scale = jnp.where(absmax > 0, absmax / 7.0, 1.0)
+    q = jnp.clip(jnp.round(wf / scale[..., None, :]), -7, 7).astype(jnp.int32)
+    q = q.reshape(*w.shape[:-2], K, N)
+    lo = q[..., 0::2, :] & 0xF
+    hi = q[..., 1::2, :] & 0xF
+    packed = (lo | (hi << 4)).astype(jnp.uint8)
+    return packed, scale.astype(jnp.float32)
+
+
+def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [K//2, N] -> int32 [K, N] in [-8, 7] (sign-extended nibbles)."""
+    lo = (packed & 0xF).astype(jnp.int32)
+    hi = ((packed >> 4) & 0xF).astype(jnp.int32)
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    K2 = packed.shape[-2]
+    stacked = jnp.stack([lo, hi], axis=-2)  # [..., K//2, 2, N]
+    return stacked.reshape(*packed.shape[:-2], K2 * 2, packed.shape[-1])
+
+
+def dequantize_int4(
+    packed: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.bfloat16, group: int = 128
+) -> jnp.ndarray:
+    q = unpack_int4(packed)  # [..., K, N]
+    K, N = q.shape[-2], q.shape[-1]
+    qg = q.reshape(*q.shape[:-2], K // group, group, N).astype(jnp.float32)
+    return (qg * scale[..., None, :]).reshape(*q.shape[:-2], K, N).astype(dtype)
+
+
+def _q4_matmul_kernel(
+    x_ref,       # [bm, group]
+    w_ref,       # [group//2, bn] uint8
+    s_ref,       # [1, bn] fp32 (this group's scales)
+    o_ref,       # [bm, bn]
+    acc_ref,     # [bm, bn] fp32
+    *,
+    num_k_blocks: int,
+):
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    packed = w_ref[...]
+    lo = (packed & 0xF).astype(jnp.int32)
+    hi = ((packed >> 4) & 0xF).astype(jnp.int32)
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    g2, bn = packed.shape
+    w = jnp.stack([lo, hi], axis=1).reshape(g2 * 2, bn).astype(jnp.float32)
+    w = (w * s_ref[0, :]).astype(x_ref.dtype)
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ik == num_k_blocks - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def int4_matmul(
+    x: jnp.ndarray,
+    w_packed: jnp.ndarray,
+    scale: jnp.ndarray,
+    *,
+    group: int = 128,
+    block_m: int = 256,
+    block_n: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x: [M, K]; w_packed: [K//2, N] uint8; scale: [K//group, N] -> [M, N].
+
+    int4 streams HBM->VMEM packed (half the int8 traffic), unpacks and
+    dequantizes group-wise in VMEM, MXU dot with fp32 accumulation."""
+    orig_shape = x.shape
+    K = x.shape[-1]
+    N = w_packed.shape[-1]
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+    assert K % group == 0
+
+    bm = min(block_m, max(8, M))
+    bn = min(block_n, N)
+    pad_m = (-M) % bm
+    pad_n = (-N) % bn
+    if pad_m:
+        x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
+    wq = w_packed
+    sc = scale
+    if pad_n:
+        wq = jnp.pad(wq, ((0, 0), (0, pad_n)))
+        sc = jnp.pad(sc, ((0, 0), (0, pad_n)))
+    Mp, Np = M + pad_m, N + pad_n
+    nk = K // group
+
+    out = pl.pallas_call(
+        functools.partial(_q4_matmul_kernel, num_k_blocks=nk),
+        grid=(Mp // bm, Np // bn, nk),
+        in_specs=[
+            pl.BlockSpec((bm, group), lambda i, j, k: (i, k)),
+            pl.BlockSpec((group // 2, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, bn), lambda i, j, k: (k, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x2, wq, sc)
+    return out[:M, :N].reshape(*orig_shape[:-1], N)
+
+
+def q4_apply(x: jnp.ndarray, w, use_pallas: Optional[bool] = None, group: int = 128):
+    """Matmul for {'q4','scale4'} weight dicts (jnp dequant off-TPU)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu", "gpu")
+    if use_pallas:
+        return int4_matmul(x, w["q4"], w["scale4"], group=group)
+    return x @ dequantize_int4(w["q4"], w["scale4"], x.dtype, group)
+
+
+def quantize_llama_params_int4(params, group: int = 128, quantize_lm_head: bool = True):
+    """Int4 variant of quantize_llama_params (weights 3.4 GB at 7B)."""
+    out = dict(params)
+    layers = {}
+    for name, w in params["layers"].items():
+        if w.ndim < 3 or name.endswith("_norm") or name.endswith("_bias"):
+            layers[name] = w
+        else:
+            q, s = quantize_int4(w, group)
+            layers[name] = {"q4": q, "scale4": s}
+    out["layers"] = layers
+    if quantize_lm_head and not isinstance(params["lm_head"], dict):
+        q, s = quantize_int4(params["lm_head"], group)
+        out["lm_head"] = {"q4": q, "scale4": s}
     return out

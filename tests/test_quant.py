@@ -150,3 +150,80 @@ class TestW8A8:
         q, s = quantize_int8(w)
         out = np.asarray(w8a8_matmul(x, q, s))
         np.testing.assert_allclose(out, 0.0)
+
+
+class TestInt4:
+    def test_pack_unpack_roundtrip(self):
+        from revisionllm_tpu.ops.quant import quantize_int4, unpack_int4
+
+        rng = np.random.default_rng(7)
+        w = jnp.asarray(rng.normal(size=(256, 64)).astype(np.float32))
+        packed, scale = quantize_int4(w, group=128)
+        assert packed.shape == (128, 64) and packed.dtype == jnp.uint8
+        assert scale.shape == (2, 64)
+        q = np.asarray(unpack_int4(packed))
+        assert q.min() >= -8 and q.max() <= 7
+
+    def test_dequant_error_bounded(self):
+        from revisionllm_tpu.ops.quant import dequantize_int4, quantize_int4
+
+        rng = np.random.default_rng(8)
+        w = jnp.asarray(rng.normal(size=(256, 32)).astype(np.float32))
+        packed, scale = quantize_int4(w, group=128)
+        deq = np.asarray(dequantize_int4(packed, scale, jnp.float32))
+        # absmax int4: error <= scale/2 per group
+        s_full = np.repeat(np.asarray(scale), 128, axis=0)
+        assert (np.abs(deq - np.asarray(w)) <= s_full / 2 + 1e-5).all()
+
+    def test_int4_matmul_matches_dequant(self):
+        from revisionllm_tpu.ops.quant import (
+            dequantize_int4,
+            int4_matmul,
+            quantize_int4,
+        )
+
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.normal(size=(16, 256)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32))
+        packed, scale = quantize_int4(w, group=128)
+        want = np.asarray(x @ dequantize_int4(packed, scale, jnp.float32))
+        got = np.asarray(int4_matmul(x, packed, scale, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+    def test_int4_llama_forward(self):
+        from revisionllm_tpu.ops.quant import quantize_llama_params_int4
+
+        cfg = LlamaConfig(
+            vocab_size=256, hidden_size=128, intermediate_size=256, num_layers=2,
+            num_heads=4, num_kv_heads=4, head_dim=32, dtype="float32",
+        )
+        params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+        from revisionllm_tpu.ops.quant import dequantize_int4
+
+        q4 = quantize_llama_params_int4(params)
+        assert q4["layers"]["q_proj"]["q4"].dtype == jnp.uint8
+
+        # explicit-dequant params: the q4 dispatch path must match exactly
+        deq = dict(q4)
+        deq["layers"] = {
+            k: dequantize_int4(v["q4"], v["scale4"], jnp.float32)
+            if isinstance(v, dict) else v
+            for k, v in q4["layers"].items()
+        }
+        deq["lm_head"] = dequantize_int4(
+            q4["lm_head"]["q4"], q4["lm_head"]["scale4"], jnp.float32
+        )
+        ids = jnp.arange(12)[None] % cfg.vocab_size
+        pos = jnp.arange(12)[None]
+        e = llama.embed_tokens(params, ids)
+        h_q4 = llama.forward_hidden(cfg, q4, e, pos)
+        h_deq = llama.forward_hidden(cfg, deq, e, pos)
+        np.testing.assert_allclose(
+            np.asarray(h_q4), np.asarray(h_deq), rtol=1e-4, atol=1e-4
+        )
+
+        # and stays correlated with the fp32 forward (int4 on random-init
+        # tiny weights is worst-case; real checkpoints land far higher)
+        h_fp = llama.forward_hidden(cfg, params, e, pos)
+        corr = np.corrcoef(np.asarray(h_fp).ravel(), np.asarray(h_q4).ravel())[0, 1]
+        assert corr > 0.9, corr
