@@ -47,6 +47,9 @@ def main():
     n_layers = int(os.environ.get("BENCH_LAYERS", "32"))
     chunk = int(os.environ.get("BENCH_CHUNK", "32"))
     use_int8 = os.environ.get("BENCH_INT8", "1") == "1"
+    # BENCH_QUANT=int4 swaps the weight format to group-wise int4 (W4A16):
+    # 3.4 GB weights at 7B, freeing HBM for larger chunks / longer KV.
+    quant_kind = os.environ.get("BENCH_QUANT", "int8" if use_int8 else "none")
     windows_per_query = 57           # 1 h x 5 fps, 125 s windows, 50% overlap
     num_frames = 250
     max_new_tokens = 12              # "From XXX to YYY." ≈ 9-12 tokens
@@ -59,16 +62,23 @@ def main():
     )
     dtype = jnp.dtype(cfg.dtype)
 
-    if use_int8:
+    if quant_kind in ("int8", "int4"):
         # serving config for 16 GB v5e: int8 weights halve HBM footprint and
-        # the weight-streaming time of the memory-bound decode. Built directly
-        # as int8 zeros — eagerly quantizing a live bf16 7B tree would hold
-        # both copies (~20 GB) on device.
+        # the weight-streaming time of the memory-bound decode (int4 quarters
+        # it). Built directly as quantized zeros — eagerly quantizing a live
+        # bf16 7B tree would hold both copies (~20 GB) on device.
         from revisionllm_tpu.models import llama as llama_mod
-        from revisionllm_tpu.ops.quant import quantize_llama_params
+        from revisionllm_tpu.ops.quant import (
+            quantize_llama_params,
+            quantize_llama_params_int4,
+        )
 
+        quant_fn = (
+            quantize_llama_params_int4 if quant_kind == "int4"
+            else quantize_llama_params
+        )
         shapes = jax.eval_shape(
-            lambda k: quantize_llama_params(llama_mod.init_params(cfg, k, dtype)),
+            lambda k: quant_fn(llama_mod.init_params(cfg, k, dtype)),
             jax.random.PRNGKey(0),
         )
         params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)

@@ -249,7 +249,7 @@ def dequantize_int4(
 def _q4_matmul_kernel(
     x_ref,       # [bm, group]
     w_ref,       # [group//2, bn] uint8
-    s_ref,       # [1, bn] fp32 (this group's scales)
+    s_ref,       # [1, 1, bn] fp32 (this group's scales)
     o_ref,       # [bm, bn]
     acc_ref,     # [bm, bn] fp32
     *,
@@ -261,14 +261,14 @@ def _q4_matmul_kernel(
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    packed = w_ref[...]
-    lo = (packed & 0xF).astype(jnp.int32)
-    hi = ((packed >> 4) & 0xF).astype(jnp.int32)
+    packed = w_ref[...].astype(jnp.int32)  # widen before bitwise (Mosaic-safe)
+    lo = packed & 0xF
+    hi = (packed >> 4) & 0xF
     lo = jnp.where(lo > 7, lo - 16, lo)
     hi = jnp.where(hi > 7, hi - 16, hi)
     g2, bn = packed.shape
     w = jnp.stack([lo, hi], axis=1).reshape(g2 * 2, bn).astype(jnp.float32)
-    w = (w * s_ref[0, :]).astype(x_ref.dtype)
+    w = (w * s_ref[0, 0, :]).astype(x_ref.dtype)
     acc_ref[...] += jax.lax.dot_general(
         x_ref[...], w, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -313,6 +313,10 @@ def int4_matmul(
         sc = jnp.pad(sc, ((0, 0), (0, pad_n)))
     Mp, Np = M + pad_m, N + pad_n
     nk = K // group
+    # Mosaic block rule: last two block dims must be (8k, 128k) or full; a
+    # (1, bn) block over [nk, N] scales is illegal — lift to [nk, 1, N] so
+    # the (1, 1, bn) block's sublane dim covers its full axis.
+    sc = sc.reshape(nk, 1, Np)
 
     out = pl.pallas_call(
         functools.partial(_q4_matmul_kernel, num_k_blocks=nk),
@@ -320,7 +324,7 @@ def int4_matmul(
         in_specs=[
             pl.BlockSpec((bm, group), lambda i, j, k: (i, k)),
             pl.BlockSpec((group // 2, bn), lambda i, j, k: (k, j)),
-            pl.BlockSpec((1, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, 1, bn), lambda i, j, k: (k, 0, j)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), x.dtype),
