@@ -247,13 +247,14 @@ def dequantize_int4(
 
 
 def _q4_matmul_kernel(
-    x_ref,       # [bm, group]
-    w_ref,       # [group//2, bn] uint8
-    s_ref,       # [1, 1, bn] fp32 (this group's scales)
+    x_ref,       # [bm, bk]
+    w_ref,       # [bk//2, bn] uint8
+    s_ref,       # [gk, bn] fp32 (this block's gk = bk//group scale rows)
     o_ref,       # [bm, bn]
     acc_ref,     # [bm, bn] fp32
     *,
     num_k_blocks: int,
+    group: int,
 ):
     ik = pl.program_id(2)
 
@@ -266,11 +267,12 @@ def _q4_matmul_kernel(
     hi = (packed >> 4) & 0xF
     lo = jnp.where(lo > 7, lo - 16, lo)
     hi = jnp.where(hi > 7, hi - 16, hi)
-    g2, bn = packed.shape
-    w = jnp.stack([lo, hi], axis=1).reshape(g2 * 2, bn).astype(jnp.float32)
-    w = (w * s_ref[0, 0, :]).astype(x_ref.dtype)
+    k2, bn = packed.shape
+    gk = (k2 * 2) // group
+    w = jnp.stack([lo, hi], axis=1).reshape(k2 * 2, bn).astype(jnp.float32)
+    w = (w.reshape(gk, group, bn) * s_ref[...][:, None, :]).reshape(k2 * 2, bn)
     acc_ref[...] += jax.lax.dot_general(
-        x_ref[...], w, (((1,), (0,)), ((), ())),
+        x_ref[...], w.astype(x_ref.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -287,12 +289,15 @@ def int4_matmul(
     group: int = 128,
     block_m: int = 256,
     block_n: int = 512,
+    block_k: int = 2048,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """x: [M, K]; w_packed: [K//2, N] uint8; scale: [K//group, N] -> [M, N].
 
     int4 streams HBM->VMEM packed (half the int8 traffic), unpacks and
-    dequantizes group-wise in VMEM, MXU dot with fp32 accumulation."""
+    dequantizes group-wise in VMEM, MXU dot with fp32 accumulation. block_k
+    spans multiple groups (Mosaic scale-block rule: bk//group must be
+    8-divisible or cover the whole scale array)."""
     orig_shape = x.shape
     K = x.shape[-1]
     N = w_packed.shape[-1]
@@ -302,29 +307,30 @@ def int4_matmul(
 
     bm = min(block_m, max(8, M))
     bn = min(block_n, N)
+    bk = min(block_k, K)
+    if bk < K and (bk // group) % 8:
+        bk = 8 * group  # smallest legal multi-group block
     pad_m = (-M) % bm
+    pad_k = (-K) % bk
     pad_n = (-N) % bn
-    if pad_m:
-        x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
+    if pad_m or pad_k:
+        x2 = jnp.pad(x2, ((0, pad_m), (0, pad_k)))
     wq = w_packed
     sc = scale
-    if pad_n:
-        wq = jnp.pad(wq, ((0, 0), (0, pad_n)))
-        sc = jnp.pad(sc, ((0, 0), (0, pad_n)))
-    Mp, Np = M + pad_m, N + pad_n
-    nk = K // group
-    # Mosaic block rule: last two block dims must be (8k, 128k) or full; a
-    # (1, bn) block over [nk, N] scales is illegal — lift to [nk, 1, N] so
-    # the (1, 1, bn) block's sublane dim covers its full axis.
-    sc = sc.reshape(nk, 1, Np)
+    if pad_k or pad_n:
+        wq = jnp.pad(wq, ((0, pad_k // 2), (0, pad_n)))
+        sc = jnp.pad(sc, ((0, pad_k // group), (0, pad_n)))
+    Mp, Kp, Np = M + pad_m, K + pad_k, N + pad_n
+    nk = Kp // bk
+    gk = bk // group
 
     out = pl.pallas_call(
-        functools.partial(_q4_matmul_kernel, num_k_blocks=nk),
+        functools.partial(_q4_matmul_kernel, num_k_blocks=nk, group=group),
         grid=(Mp // bm, Np // bn, nk),
         in_specs=[
-            pl.BlockSpec((bm, group), lambda i, j, k: (i, k)),
-            pl.BlockSpec((group // 2, bn), lambda i, j, k: (k, j)),
-            pl.BlockSpec((1, 1, bn), lambda i, j, k: (k, 0, j)),
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bk // 2, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((gk, bn), lambda i, j, k: (k, j)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), x.dtype),
@@ -337,13 +343,37 @@ def int4_matmul(
     return out[:M, :N].reshape(*orig_shape[:-1], N)
 
 
-def q4_apply(x: jnp.ndarray, w, use_pallas: Optional[bool] = None, group: int = 128):
-    """Matmul for {'q4','scale4'} weight dicts (jnp dequant off-TPU)."""
+def q4_apply(
+    x: jnp.ndarray, w, use_pallas: Optional[bool] = None, group: int = 128,
+    pallas_max_m: int = 256,
+):
+    """Matmul for {'q4','scale4'} weight dicts. Small-M (decode) goes through
+    the Pallas kernel (int4 weight streaming is the win); large-M (prefill)
+    is MXU-bound — XLA dequant+dot avoids the unpack-per-k-block overhead,
+    mirroring the int8 dispatch above."""
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu", "gpu")
-    if use_pallas:
+    M = 1
+    for d in x.shape[:-1]:
+        M *= d
+    if use_pallas and (M <= pallas_max_m or _q4_all_pallas()):
         return int4_matmul(x, w["q4"], w["scale4"], group=group)
     return x @ dequantize_int4(w["q4"], w["scale4"], x.dtype, group)
+
+
+_Q4_ALL_PALLAS = None
+
+
+def _q4_all_pallas() -> bool:
+    """REVISIONLLM_Q4_PALLAS=all routes every int4 matmul (prefill included)
+    through the Pallas kernel instead of XLA dequant+dot — the int4 unpack
+    pattern can block XLA's dequant-into-dot fusion at large M."""
+    global _Q4_ALL_PALLAS
+    if _Q4_ALL_PALLAS is None:
+        import os
+
+        _Q4_ALL_PALLAS = os.environ.get("REVISIONLLM_Q4_PALLAS", "") == "all"
+    return _Q4_ALL_PALLAS
 
 
 def quantize_llama_params_int4(params, group: int = 128, quantize_lm_head: bool = True):
