@@ -52,7 +52,9 @@ def main():
     quant_kind = os.environ.get("BENCH_QUANT", "int8" if use_int8 else "none")
     windows_per_query = 57           # 1 h x 5 fps, 125 s windows, 50% overlap
     num_frames = 250
-    max_new_tokens = 12              # "From XXX to YYY." ≈ 9-12 tokens
+    # "From XXX to YYY." ≈ 9-12 tokens; BENCH_NEW_TOKENS=1 isolates prefill
+    # cost (decode share = default run minus that run).
+    max_new_tokens = int(os.environ.get("BENCH_NEW_TOKENS", "12"))
     prompt_extra = 60                # v1 system+question tokens around <video>
 
     cfg = LlamaConfig(num_layers=n_layers)
