@@ -101,7 +101,19 @@ class GroundingEngine:
                     shared_prefix_len=shared_prefix_len,
                 )
 
-            self._compiled[key] = jax.jit(run)
+            from revisionllm_tpu.utils.aot_cache import (
+                LazyCachedProgram,
+                cache_dir_from_env,
+            )
+
+            cache_dir = cache_dir_from_env()
+            if cache_dir is not None:
+                # REVISIONLLM_AOT_CACHE=<dir>: persist the compiled
+                # executable across processes (stage-1 programs cost minutes
+                # to compile over the axon relay; reload is instant)
+                self._compiled[key] = LazyCachedProgram(run, cache_dir)
+            else:
+                self._compiled[key] = jax.jit(run)
         return self._compiled[key]
 
     @staticmethod
