@@ -115,7 +115,11 @@ def main():
         else 0
     )
 
-    def run(params, vision, images, query_feats):
+    # plan rides as an argument, NOT a closure: captured device arrays are
+    # baked into the executable as constants, which makes the AOT-serialized
+    # blob reload in minutes instead of seconds (jax serialize_executable
+    # handles argument-passed buffers, not embedded constants)
+    def run(params, vision, plan, images, query_feats):
         out = revisionllm.generate_grounding(
             cfg, adapter_cfg, params, vision, plan, images, query_feats,
             eos_id=2, max_new_tokens=max_new_tokens,
@@ -123,19 +127,34 @@ def main():
         )
         return out["tokens"], out["entropy_stats"]
 
-    fn = jax.jit(run)
-    t0 = time.time()
-    toks, stats = fn(params, vision, images, query_feats)
-    jax.block_until_ready((toks, stats))
+    # AOT executable cache (BENCH_AOT=0 to disable): the first driver run
+    # pays the compile, later runs reload the executable in ~1 s. Keyed on
+    # lowered HLO + device kind, with a safe fall-through to compiling.
+    if os.environ.get("BENCH_AOT", "1") == "1":
+        from revisionllm_tpu.utils.aot_cache import load_or_compile
+
+        t0 = time.time()
+        fn = load_or_compile(
+            run, params, vision, plan, images, query_feats,
+            cache_dir=os.path.join(os.path.dirname(__file__), ".aot_cache"),
+        )
+    else:
+        fn = jax.jit(run)
+        t0 = time.time()
+    toks, stats = fn(params, vision, plan, images, query_feats)
+    np.asarray(toks)
     compile_s = time.time() - t0
 
     # warm + measure
     iters = int(os.environ.get("BENCH_ITERS", "8"))
-    fn(params, vision, images, query_feats)[0].block_until_ready()
+    np.asarray(fn(params, vision, plan, images, query_feats)[0])
     t0 = time.time()
     for _ in range(iters):
-        toks, stats = fn(params, vision, images, query_feats)
-    jax.block_until_ready((toks, stats))
+        toks, stats = fn(params, vision, plan, images, query_feats)
+    # value-fetch, not block_until_ready: the relay acks readiness of
+    # AOT-loaded executables before the device work drains (false-fast);
+    # fetching the last output forces real completion of the serial queue
+    np.asarray(toks)
     dt = (time.time() - t0) / iters
 
     windows_per_sec = chunk / dt
