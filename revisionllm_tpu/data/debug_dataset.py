@@ -51,7 +51,7 @@ def main(argv=None):
 
         tokenizer = AutoTokenizer.from_pretrained(args.model_base, use_fast=True)
     else:
-        from tests.test_dataset import FakeTokenizer
+        from revisionllm_tpu.utils.testing import FakeTokenizer
 
         tokenizer = FakeTokenizer()
     ds = GroundingDataset(

@@ -401,6 +401,7 @@ class GroundingEngine:
         starts: List[int] = []
         indexes: List[np.ndarray] = []
         hierarchy_zooms: List[int] = []
+        call_in_zoom: List[int] = []  # the reference's inner-loop `i` (:339)
         row_feats: List[np.ndarray] = []
 
         V = len(windows)
@@ -408,6 +409,7 @@ class GroundingEngine:
             batch = max(ecfg.batch // zoom, 1)
             n_calls = int(np.ceil(V / batch))
             for i in range(n_calls):
+                call_in_zoom.append(i)
                 start = i * batch
                 end = min(start + batch, V)
                 if end - start < batch:
@@ -451,6 +453,54 @@ class GroundingEngine:
                 max_entropy.append(1.0 / max(res.entropy_stats[r, 0], 1e-9))
                 mean_entropy.append(1.0 / max(res.entropy_stats[r, 2], 1e-9))
 
+        # CLIP cosine of each chosen window (reference
+        # eval_nlq_retrieval_e2e2.py:360-386): map the parsed answer back
+        # through permutation/zoom/pre-filter, then score the +-1 window
+        # neighborhood of the current pass's (permuted, zoom-repeated)
+        # features against the query CLS — one batched program for all
+        # proposals, like ground_windows' scorer.
+        score_cos: List[float] = []
+        if query_cls is not None and answers:
+            num_videos_row = row_feats[0].shape[0] if row_feats else ecfg.batch
+            chosen = M.stage2_chosen_windows(
+                answers, starts, indexes, hierarchy_zooms, call_in_zoom,
+                grounding_windows, num_videos_row,
+            )
+            to_score: List[np.ndarray] = []
+            for p, ns in enumerate(chosen):
+                if ns:
+                    for n2 in ns:
+                        to_score.append(row_feats[p][n2])
+            scores_flat: List[float] = []
+            if to_score:
+                T, d = to_score[0].shape
+                Pb = 8
+                while Pb < len(to_score):
+                    Pb *= 2
+                padded = np.zeros((Pb, T, d), np.float32)
+                for j, wf in enumerate(to_score):
+                    padded[j] = wf
+                valid = np.zeros((Pb, T), bool)
+                valid[: len(to_score)] = True
+                score_fn = self._compiled.setdefault(
+                    ("cosine", Pb, T, d),
+                    jax.jit(
+                        jax.vmap(
+                            lambda q, fr, va: proposal_cosine_scores(q, fr, va, k=3),
+                            in_axes=(None, 0, 0),
+                        )
+                    ),
+                )
+                qc = jnp.asarray(query_cls, jnp.float32)
+                arr = np.asarray(score_fn(qc, jnp.asarray(padded), jnp.asarray(valid)))
+                scores_flat = [float(x) for x in arr[: len(to_score)]]
+            it = iter(scores_flat)
+            for ns in chosen:
+                if ns is None:
+                    score_cos.append(0.0)  # reference :366: torch.tensor([0])
+                else:
+                    score_cos.extend(next(it) for _ in ns)
+
         return {
             "answers": answers,
             "starts": starts,
@@ -458,6 +508,7 @@ class GroundingEngine:
             "hierarchy_zooms": hierarchy_zooms,
             "mean_entropy": mean_entropy,
             "max_entropy": max_entropy,
+            "score_cos": score_cos,
             "grounding_windows": grounding_windows,
             "num_windows": V,
         }

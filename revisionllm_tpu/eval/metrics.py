@@ -134,6 +134,51 @@ def stage2_window_hit(
     return clip_frames, [1] if sum(overlaps) > 0 else [0]
 
 
+def stage2_chosen_windows(
+    outputs: Sequence[str],
+    starts: Sequence[int],
+    indexes: Sequence[Sequence[int]],
+    hierarchy_zooms: Sequence[int],
+    call_in_zoom: Sequence[int],
+    grounding_windows: Sequence[int],
+    num_videos: int,
+) -> List[Optional[List[int]]]:
+    """Which window(s) of each stage-2 pass get CLIP-cosine scored.
+
+    Exact parity with the in-loop score_cos selection of reference
+    eval_nlq_retrieval_e2e2.py:360-386, INCLUDING its quirk: the reference
+    indexes the accumulating `starts`/`indexes`/`hierarchy_zooms` lists by the
+    call counter `i` of the CURRENT zoom's inner loop (:339), so passes of
+    later zooms resolve against the FIRST zoom's entries. `call_in_zoom[p]`
+    carries that within-zoom counter for pass p.
+
+    Per pass: None means no integer parsed (the reference emits a literal 0.0
+    score, :366,386); otherwise the list of window indices n with
+    feat[:, n] scored — range(max(0, gw-1), min(gw+1, num_videos-1)) after
+    mapping the parsed index through zoom division, un-permutation, batch
+    start offset, clamping, and the grounding-window pre-filter (:369-381).
+    """
+    chosen: List[Optional[List[int]]] = []
+    for p, output in enumerate(outputs):
+        m = SINGLE_RE.search(output)
+        if not m:
+            chosen.append(None)
+            continue
+        c = call_in_zoom[p]
+        from_number = int(m.group(1)) // hierarchy_zooms[c]
+        if from_number < len(indexes[c]):
+            from_number = int(indexes[c][from_number])
+        from_number = starts[c] + from_number
+        from_number = max(0, from_number)
+        from_number = min(len(grounding_windows) - 1, from_number)
+        from_number = grounding_windows[from_number]
+        to_number = from_number
+        from_number = max(0, from_number - 1)
+        to_number = min(to_number + 1, num_videos - 1)
+        chosen.append(list(range(from_number, to_number)))
+    return chosen
+
+
 def grounding_metrics_stream(all_logs: Iterable[dict]) -> Dict[str, float]:
     """Score-ranked R{1,5,10,50}@IoU{0.1..0.9} + mIoU over prediction logs.
 

@@ -167,7 +167,7 @@ def run(args, engine: GroundingEngine) -> Dict[str, int]:
                     "gt": data["timestamps"],
                     "frames": frames,
                     "iou": ious,
-                    "score_cos": [],
+                    "score_cos": res["score_cos"],
                     "mean_entropy": res["mean_entropy"],
                     "max_entropy": res["max_entropy"],
                     "hierarchy_zooms": res["hierarchy_zooms"],

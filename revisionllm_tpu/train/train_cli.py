@@ -116,7 +116,7 @@ def main(argv=None):
         tokenizer = AutoTokenizer.from_pretrained(args.model_base, use_fast=True)
     else:
         base = llama.init_params(llama_cfg, jax.random.PRNGKey(args.seed), dtype)
-        from tests.test_dataset import FakeTokenizer  # smoke path only
+        from revisionllm_tpu.utils.testing import FakeTokenizer
 
         tokenizer = FakeTokenizer()
 

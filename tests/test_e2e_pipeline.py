@@ -141,10 +141,111 @@ class TestStage2E2E:
         logs = M.load_prediction_logs(str(tmp_path / "s2"), 1)
         assert len(logs) == 2
         info = logs[0]["info"]
-        for k in ("gt", "frames", "iou", "mean_entropy", "max_entropy", "hierarchy_zooms"):
+        for k in ("gt", "frames", "iou", "mean_entropy", "max_entropy",
+                  "hierarchy_zooms", "score_cos"):
             assert k in info
         # zoom passes: (2,1) over 8-batch
         assert set(info["hierarchy_zooms"]) <= {1, 2}
+
+    def test_score_cos_populated_and_fused(self, tmp_path):
+        """Stage-2 with query features logs non-empty score_cos (reference
+        eval_nlq_retrieval_e2e2.py:367-386) and fusion consumes those logs."""
+        cfg = LlamaConfig.tiny()
+        cfg = cfg.__class__(**{**cfg.__dict__, "dtype": "float32"})
+        adapter_cfg = AdapterConfig(
+            d_model=16, num_heads=4, num_layers=2, ffn_dim=32,
+            hidden_size=cfg.hidden_size, clip_adapter_text=True, hierarchy=True,
+            feature_mode="cls",
+        )
+        params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+        vision = revisionllm.init_vision_params(adapter_cfg, jax.random.PRNGKey(1), d_in=16)
+        eval_cfg = EvalConfig(
+            debug_window=20, num_frames=16, feature_fps=2.0, batch=8, stride=5,
+            max_new_tokens=4, hierarchy_zooms=(2, 1),
+        )
+        tok = FakeTokenizer()
+        for i in range(300):
+            tok._id(str(i))
+        engine = GroundingEngine(cfg, adapter_cfg, params, vision, tok, eval_cfg)
+
+        # short movie so every window fits one batch (V=7 < batch=8): mapped
+        # gw indices stay inside the pass's window axis, as in the real
+        # 100-window geometry, so neighborhoods are never clamped empty
+        root = tmp_path / "data"
+        root.mkdir()
+        rng = np.random.default_rng(7)
+        feats_small = rng.normal(size=(64, 16)).astype(np.float32)
+        np.save(root / "m1.npy", feats_small)
+        with open(root / "val.json", "w") as f:
+            json.dump({
+                "q1": {"movie": "m1", "movie_duration": 32.0,
+                       "timestamps": [10.0, 15.0], "query": "a red car."},
+                "q2": {"movie": "m1", "movie_duration": 32.0,
+                       "timestamps": [20.0, 25.0], "query": "a door opens?"},
+            }, f)
+        eval_data = root
+
+        # query feature store: <qid>.npz with token/cls features
+        qdir = tmp_path / "qfeats"
+        qdir.mkdir()
+        for qid in ("q1", "q2"):
+            np.savez(
+                qdir / f"{qid}.npz",
+                token_features=rng.normal(size=(5, 16)).astype(np.float32),
+                cls_features=rng.normal(size=(16,)).astype(np.float32),
+            )
+
+        # engine-level invariant: one 0.0 per unparsed pass, len(chosen)
+        # scores per parsed pass — recomputed independently from the result
+        feats = np.load(str(eval_data / "m1.npy"))
+        from revisionllm_tpu.data.feature_store import QueryFeatureStore
+
+        qf, qcls = QueryFeatureStore(str(qdir)).get("q1")
+        res = engine.retrieve(feats, "a red car", qf, qcls,
+                              rng=np.random.default_rng(42))
+        n_pass = len(res["answers"])
+        call_in_zoom = []
+        for zoom in eval_cfg.hierarchy_zooms:
+            batch = max(eval_cfg.batch // zoom, 1)
+            n_calls = int(np.ceil(res["num_windows"] / batch))
+            call_in_zoom.extend(range(n_calls))
+        chosen = M.stage2_chosen_windows(
+            res["answers"], res["starts"], res["indexes"],
+            res["hierarchy_zooms"], call_in_zoom, res["grounding_windows"],
+            eval_cfg.batch,
+        )
+        expect_n = sum(1 if ns is None else len(ns) for ns in chosen)
+        assert len(res["score_cos"]) == expect_n
+        assert all(isinstance(s, float) for s in res["score_cos"])
+
+        # CLI path: JSONL carries the field; fusion over these logs works
+        args = argparse.Namespace(
+            data_path=str(eval_data / "val.json"), feat_folder=str(eval_data),
+            q_feat_dir=str(qdir), log_path=str(tmp_path / "s2cos"),
+            grounding_path=None,
+            debug_window=20, num_frames=16, feature_fps=2.0,
+            batch=8, stride=5, split=0, total_split=1,
+            distributed_retrieval=1, single=True,
+            max_new_tokens=4, seed=42, debug=True,
+        )
+        out = stage2.run(args, engine)
+        assert out["done"] == 2 and out["errors"] == 0
+        logs = M.load_prediction_logs(str(tmp_path / "s2cos"), 1)
+        assert all(len(l["info"]["score_cos"]) > 0 for l in logs)
+
+        gdir = tmp_path / "gcos"
+        gdir.mkdir()
+        with open(gdir / "predictions_streaming_0.txt", "w") as f:
+            for qid in ("q1", "q2"):
+                f.write(json.dumps({
+                    "video_id": "m1", "task": "grounding", "query_id": qid,
+                    "answer": ["From 1 to 2.", "Not Present"],
+                    "info": {"iou": [0.7], "scores": [0.9]},
+                }) + "\n")
+        fused, ratio = M.fuse_retrieval_grounding(
+            M.load_prediction_logs(str(gdir), 1), logs
+        )
+        assert len(fused) == 2 and 0.0 <= ratio <= 1.0
 
 
 class TestFusionCLI:

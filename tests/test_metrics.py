@@ -97,6 +97,56 @@ class TestStage2Hit:
         assert hit == [0]
 
 
+class TestStage2ChosenWindows:
+    """Parity with the reference's in-loop score_cos selection
+    (eval_nlq_retrieval_e2e2.py:360-386), hand-traced golden values."""
+
+    def test_selection_with_zoom_quirk(self):
+        # zoom 2 has 2 calls (call_in_zoom 0,1), zoom 1 has 1 call whose
+        # quirky lookup resolves against the FIRST zoom's entries (c=0)
+        chosen = M.stage2_chosen_windows(
+            outputs=["In video 3", "no", "In video 5"],
+            starts=[0, 4, 0],
+            indexes=[[2, 1, 0, 3], [1, 0, 3, 2], list(range(8))],
+            hierarchy_zooms=[2, 2, 1],
+            call_in_zoom=[0, 1, 0],
+            grounding_windows=list(range(10)),
+            num_videos=8,
+        )
+        # pass 0: 3//2=1 -> indexes[0][1]=1 -> +0 -> gw=1 -> range(0, 2)
+        # pass 1: no integer -> None (reference emits literal 0.0)
+        # pass 2: c=0 (quirk): 5//2=2 -> indexes[0][2]=0 -> gw=0 -> range(0, 1)
+        assert chosen == [[0, 1], None, [0]]
+
+    def test_clamps(self):
+        chosen = M.stage2_chosen_windows(
+            outputs=["In video 99"],
+            starts=[0],
+            indexes=[[0, 1]],
+            hierarchy_zooms=[1],
+            call_in_zoom=[0],
+            grounding_windows=[0, 1, 2],
+            num_videos=4,
+        )
+        # 99 >= len(indexes[0]) so no un-permute; clamp to gw index 2 ->
+        # gw=2 -> range(1, min(3, 3)) = [1, 2]
+        assert chosen == [[1, 2]]
+
+    def test_empty_neighborhood(self):
+        # gw beyond num_videos-1 collapses the scored range to empty
+        chosen = M.stage2_chosen_windows(
+            outputs=["In video 0"],
+            starts=[0],
+            indexes=[[9]],
+            hierarchy_zooms=[1],
+            call_in_zoom=[0],
+            grounding_windows=list(range(12)),
+            num_videos=4,
+        )
+        # 0 -> indexes[0][0]=9 -> gw=9 -> range(8, min(10, 3)) = []
+        assert chosen == [[]]
+
+
 class TestRankedMetrics:
     def _mk_log(self, ious, scores):
         return {"task": "grounding", "info": {"iou": ious, "scores": scores}}
