@@ -220,20 +220,45 @@ def npy_dir_to_rvfs(npy_dir: str, out_path: str) -> int:
     return n
 
 
+def h5_to_rvfs(h5_path: str, out_path: str, dataset_key: Optional[str] = None) -> int:
+    """One big h5 (MAD's distribution format: one dataset per movie id) ->
+    single RVFS store. Replaces reference data/convert_h5_to_lmdb.py:1-37
+    (h5 items -> lmdb npz records named 'features', float32).
+
+    dataset_key: convert only that item (sharding / debugging)."""
+    import h5py  # in the build image; gated so the module imports without it
+
+    n = 0
+    with h5py.File(h5_path, "r") as f, RvfsWriter(out_path) as w:
+        keys = [dataset_key] if dataset_key else list(f.keys())
+        for key in keys:
+            w.add(key, {"features": np.asarray(f[key], dtype=np.float32)})
+            n += 1
+    return n
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="dataset converters")
     p.add_argument(
         "kind",
-        choices=["mad", "chapters", "activitynet", "stage2", "msrvtt", "npy2rvfs"],
+        choices=["mad", "chapters", "activitynet", "stage2", "msrvtt",
+                 "npy2rvfs", "h52rvfs"],
     )
     p.add_argument("--in_path", required=True)
     p.add_argument("--out_path", required=True)
     p.add_argument("--feat_dir", default=None)
+    p.add_argument("--dataset_key", default=None,
+                   help="h52rvfs: convert a single h5 item")
     p.add_argument("--neg", action="store_true")
     args = p.parse_args(argv)
 
     if args.kind == "npy2rvfs":
         n = npy_dir_to_rvfs(args.in_path, args.out_path)
+        print(f"wrote {n} records to {args.out_path}")
+        return
+
+    if args.kind == "h52rvfs":
+        n = h5_to_rvfs(args.in_path, args.out_path, args.dataset_key)
         print(f"wrote {n} records to {args.out_path}")
         return
 

@@ -16,6 +16,7 @@ import json
 import os
 
 from revisionllm_tpu.eval import metrics as M
+from revisionllm_tpu.utils.cli import str2bool
 
 
 def parse_args(argv=None):
@@ -24,10 +25,10 @@ def parse_args(argv=None):
     p.add_argument("--retrieval_path", type=str, required=True)
     p.add_argument("--retrieval_path2", type=str, default=None)
     p.add_argument("--task", type=str, default="grounding")
-    p.add_argument("--stream", type=bool, default=True)
+    p.add_argument("--stream", type=str2bool, default=True)
     p.add_argument("--distributed_grounding", type=int, default=16)
     p.add_argument("--distributed_retrieval", type=int, default=16)
-    p.add_argument("--single", type=bool, default=True)
+    p.add_argument("--single", type=str2bool, default=True)
     p.add_argument("--buffers", type=int, nargs="*", default=[0])
     return p.parse_args(argv)
 

@@ -23,6 +23,7 @@ from revisionllm_tpu.config import AdapterConfig, EvalConfig
 from revisionllm_tpu.data.feature_store import QueryFeatureStore, open_feature_store
 from revisionllm_tpu.eval import metrics as M
 from revisionllm_tpu.eval.engine import GroundingEngine
+from revisionllm_tpu.utils.cli import str2bool
 
 
 def parse_args(argv=None):
@@ -46,17 +47,17 @@ def parse_args(argv=None):
     p.add_argument("--score", type=str, default="mean_entropy",
                    choices=["cosine_sim", "max_entropy", "mean_entropy"])
     p.add_argument("--score_merge", type=str, default="multiply", choices=["add", "multiply"])
-    p.add_argument("--normalize", type=bool, default=True)
-    p.add_argument("--topk_pool", type=bool, default=True)
-    p.add_argument("--skip_small_videos", type=bool, default=True)
-    p.add_argument("--clip_adapter", type=bool, default=False)
-    p.add_argument("--clip_adapter_text", type=bool, default=False)
-    p.add_argument("--hierarchy", type=bool, default=False)
+    p.add_argument("--normalize", type=str2bool, default=True)
+    p.add_argument("--topk_pool", type=str2bool, default=True)
+    p.add_argument("--skip_small_videos", type=str2bool, default=True)
+    p.add_argument("--clip_adapter", type=str2bool, default=False)
+    p.add_argument("--clip_adapter_text", type=str2bool, default=False)
+    p.add_argument("--hierarchy", type=str2bool, default=False)
     p.add_argument("--mad_prompt", type=str, default="mad_grounding")
     p.add_argument("--max_new_tokens", type=int, default=32)
-    p.add_argument("--baseline", type=bool, default=False)
-    p.add_argument("--plus_baseline", type=bool, default=False)
-    p.add_argument("--debug", type=bool, default=False)
+    p.add_argument("--baseline", type=str2bool, default=False)
+    p.add_argument("--plus_baseline", type=str2bool, default=False)
+    p.add_argument("--debug", type=str2bool, default=False)
     return p.parse_args(argv)
 
 

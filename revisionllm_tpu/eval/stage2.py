@@ -22,6 +22,7 @@ from revisionllm_tpu.eval import metrics as M
 from revisionllm_tpu.eval.engine import GroundingEngine
 from revisionllm_tpu.eval.stage1 import load_items
 from revisionllm_tpu.ops.windows import get_ground_truth_windows
+from revisionllm_tpu.utils.cli import str2bool
 
 
 def parse_args(argv=None):
@@ -44,13 +45,13 @@ def parse_args(argv=None):
     p.add_argument("--split", type=int, default=0)
     p.add_argument("--total_split", type=int, default=1)
     p.add_argument("--distributed_retrieval", type=int, default=16)
-    p.add_argument("--single", type=bool, default=True)
-    p.add_argument("--clip_adapter", type=bool, default=True)
-    p.add_argument("--clip_adapter_text", type=bool, default=True)
-    p.add_argument("--hierarchy", type=bool, default=True)
+    p.add_argument("--single", type=str2bool, default=True)
+    p.add_argument("--clip_adapter", type=str2bool, default=True)
+    p.add_argument("--clip_adapter_text", type=str2bool, default=True)
+    p.add_argument("--hierarchy", type=str2bool, default=True)
     p.add_argument("--max_new_tokens", type=int, default=32)
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--debug", type=bool, default=False)
+    p.add_argument("--debug", type=str2bool, default=False)
     return p.parse_args(argv)
 
 

@@ -27,13 +27,28 @@ from revisionllm_tpu.models import llama
 _KV8 = None
 
 
+def set_kv8(enabled: Optional[bool]) -> None:
+    """Override the int8 prompt-KV switch (None = re-read the environment)."""
+    global _KV8
+    _KV8 = enabled
+
+
 def _kv8_enabled() -> bool:
-    """Opt-in int8 prompt-KV cache (REVISIONLLM_KV8=1)."""
+    """Int8 prompt-KV cache. Default ON for TPU serving (halves the dominant
+    HBM read of large-chunk decode; accuracy validated — see BENCH_NOTES
+    'Quant promotion'); REVISIONLLM_KV8=0 opts out. Defaults OFF on cpu/gpu
+    backends so unit tests exercise exact bf16 decode parity."""
     global _KV8
     if _KV8 is None:
         import os
 
-        _KV8 = os.environ.get("REVISIONLLM_KV8", "0") == "1"
+        env = os.environ.get("REVISIONLLM_KV8")
+        if env is not None:
+            _KV8 = env == "1"
+        else:
+            import jax
+
+            _KV8 = jax.default_backend() not in ("cpu", "gpu")
     return _KV8
 
 

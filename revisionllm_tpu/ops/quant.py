@@ -157,12 +157,28 @@ def w8a8_matmul(x: jnp.ndarray, w_q8: jnp.ndarray, w_scale: jnp.ndarray) -> jnp.
 _W8A8_PREFILL = None
 
 
+def set_w8a8(enabled: Optional[bool]) -> None:
+    """Override the W8A8-prefill switch (None = re-read the environment)."""
+    global _W8A8_PREFILL
+    _W8A8_PREFILL = enabled
+
+
 def _w8a8_enabled() -> bool:
+    """Dynamic-activation int8 prefill. Default ON for TPU serving (validated:
+    see BENCH_NOTES 'Quant promotion' — argmax flips well under the
+    temperature-0.05 sampling noise the reference decodes with);
+    REVISIONLLM_W8A8=0 opts out. Defaults OFF on cpu/gpu backends so unit
+    tests exercise exact dequant parity; set_w8a8(True) or the env var
+    engages the same numerics there (validation harness)."""
     global _W8A8_PREFILL
     if _W8A8_PREFILL is None:
         import os
 
-        _W8A8_PREFILL = os.environ.get("REVISIONLLM_W8A8", "0") == "1"
+        env = os.environ.get("REVISIONLLM_W8A8")
+        if env is not None:
+            _W8A8_PREFILL = env == "1"
+        else:
+            _W8A8_PREFILL = jax.default_backend() not in ("cpu", "gpu")
     return _W8A8_PREFILL
 
 
@@ -188,7 +204,9 @@ def q8_apply(
         M *= d
     if use_pallas and M <= pallas_max_m:
         return int8_matmul(x, w["q8"], w["scale"])
-    if use_pallas and _w8a8_enabled():
+    if _w8a8_enabled() and (use_pallas or M > pallas_max_m):
+        # large-M int8-activation path; engages off-TPU only when explicitly
+        # enabled (backend-conditional default in _w8a8_enabled)
         return w8a8_matmul(x, w["q8"], w["scale"])
     return x @ dequantize_int8(w["q8"], w["scale"], x.dtype)
 

@@ -102,6 +102,43 @@ class TestNpyToRvfs:
         np.testing.assert_array_equal(RvfsStore(out).get("vid1"), a)
 
 
+class TestH5ToRvfs:
+    """Parity role: reference data/convert_h5_to_lmdb.py:1-37 (the MAD CLIP
+    features ship as one big h5 keyed by movie id)."""
+
+    def test_roundtrip(self, tmp_path):
+        h5py = pytest.importorskip("h5py")
+        rng = np.random.default_rng(1)
+        feats = {
+            "movie_a": rng.normal(size=(20, 8)).astype(np.float16),
+            "movie_b": rng.normal(size=(7, 8)).astype(np.float32),
+        }
+        h5_path = str(tmp_path / "clip.h5")
+        with h5py.File(h5_path, "w") as f:
+            for k, v in feats.items():
+                f.create_dataset(k, data=v)
+        out = str(tmp_path / "out.rvfs")
+        n = C.h5_to_rvfs(h5_path, out)
+        assert n == 2
+        store = RvfsStore(out)
+        for k, v in feats.items():
+            # reference casts to float32 on conversion
+            np.testing.assert_array_equal(store.get(k), v.astype(np.float32))
+
+    def test_single_key_and_cli(self, tmp_path, capsys):
+        h5py = pytest.importorskip("h5py")
+        a = np.ones((3, 4), np.float32)
+        h5_path = str(tmp_path / "one.h5")
+        with h5py.File(h5_path, "w") as f:
+            f.create_dataset("only", data=a)
+            f.create_dataset("skip", data=a * 2)
+        out = str(tmp_path / "one.rvfs")
+        C.main(["h52rvfs", "--in_path", h5_path, "--out_path", out,
+                "--dataset_key", "only"])
+        assert "wrote 1 records" in capsys.readouterr().out
+        np.testing.assert_array_equal(RvfsStore(out).get("only"), a)
+
+
 class TestCheckpointRoundtrip:
     def test_orbax_save_restore(self, tmp_path):
         import jax.numpy as jnp

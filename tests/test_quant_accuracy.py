@@ -51,3 +51,64 @@ class TestKv8Argmax:
             agree += int((np.argmax(np.asarray(lg_fp), -1) == np.argmax(np.asarray(lg_q8), -1)).sum())
             total += B
         assert agree / total > 0.85, (agree, total)
+
+
+class TestPromotedDefaults:
+    """Round-2 promotion (VERDICT item 3): W8A8 + KV8 default ON for TPU
+    backends, OFF on cpu/gpu (exact test parity), overridable via
+    set_w8a8/set_kv8 and env vars."""
+
+    def test_backend_conditional_defaults(self, monkeypatch):
+        from revisionllm_tpu.models import generation
+        from revisionllm_tpu.ops import quant
+
+        monkeypatch.delenv("REVISIONLLM_W8A8", raising=False)
+        monkeypatch.delenv("REVISIONLLM_KV8", raising=False)
+        quant.set_w8a8(None)
+        generation.set_kv8(None)
+        try:
+            # conftest pins JAX_PLATFORMS=cpu
+            assert quant._w8a8_enabled() is False
+            assert generation._kv8_enabled() is False
+        finally:
+            quant.set_w8a8(None)
+            generation.set_kv8(None)
+
+    def test_env_and_setter_override(self, monkeypatch):
+        from revisionllm_tpu.models import generation
+        from revisionllm_tpu.ops import quant
+
+        monkeypatch.setenv("REVISIONLLM_W8A8", "1")
+        monkeypatch.setenv("REVISIONLLM_KV8", "1")
+        quant.set_w8a8(None)
+        generation.set_kv8(None)
+        try:
+            assert quant._w8a8_enabled() is True
+            assert generation._kv8_enabled() is True
+            quant.set_w8a8(False)
+            generation.set_kv8(False)
+            assert quant._w8a8_enabled() is False
+            assert generation._kv8_enabled() is False
+        finally:
+            quant.set_w8a8(None)
+            generation.set_kv8(None)
+
+    def test_forced_w8a8_engages_on_cpu(self):
+        """set_w8a8(True) must route large-M q8_apply through the int8
+        activation path even off-TPU (the validation harness relies on it)."""
+        from revisionllm_tpu.ops import quant
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(512, 64)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+        q, s = quantize_int8(w)
+        wd = {"q8": q, "scale": s}
+        exact = np.asarray(quant.q8_apply(x, wd))
+        quant.set_w8a8(True)
+        try:
+            forced = np.asarray(quant.q8_apply(x, wd))
+        finally:
+            quant.set_w8a8(None)
+        # engaged => different rounding than dequant path, but close
+        assert not np.array_equal(exact, forced)
+        np.testing.assert_allclose(exact, forced, atol=0.2, rtol=0.1)
