@@ -232,7 +232,15 @@ def h5_to_rvfs(h5_path: str, out_path: str, dataset_key: Optional[str] = None) -
     with h5py.File(h5_path, "r") as f, RvfsWriter(out_path) as w:
         keys = [dataset_key] if dataset_key else list(f.keys())
         for key in keys:
-            w.add(key, {"features": np.asarray(f[key], dtype=np.float32)})
+            item = f[key]
+            if isinstance(item, h5py.Group):
+                # structured record (e.g. text features with
+                # token_features/cls_features members) -> keep member names
+                w.add(key, {
+                    sub: np.asarray(item[sub], dtype=np.float32) for sub in item
+                })
+            else:
+                w.add(key, {"features": np.asarray(item, dtype=np.float32)})
             n += 1
     return n
 

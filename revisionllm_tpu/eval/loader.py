@@ -21,6 +21,10 @@ def adapter_cfg_from_args(args) -> AdapterConfig:
     if getattr(args, "clip_adapter", False) or getattr(args, "pretrain_clip_adapter", None):
         return AdapterConfig(
             kind="clip_encoder",
+            d_model=getattr(args, "adapter_d_model", 768),
+            num_heads=getattr(args, "adapter_heads", 8),
+            num_layers=getattr(args, "adapter_layers", 2),
+            ffn_dim=getattr(args, "adapter_ffn", 2048),
             clip_adapter_text=bool(getattr(args, "clip_adapter_text", False)),
             cross_attn=bool(getattr(args, "cross_attn", False)),
             hierarchy=hierarchy,
@@ -64,6 +68,21 @@ def build_engine_from_args(args) -> GroundingEngine:
         stage3_lora=getattr(args, "stage3", None),
         dtype=jnp.bfloat16,
     )
+    adapter_cfg = adapter_cfg.with_hidden(llama_cfg.hidden_size)
+    # serving quantization BEFORE device transfer: a real 7B checkpoint in
+    # bf16 (13.5 GB) does not fit v5e-16GB next to the KV cache; int8 is the
+    # validated serving default (BENCH_NOTES 'Quant promotion').
+    # REVISIONLLM_QUANT=none keeps dense weights (small models / debugging).
+    import os
+
+    import jax
+
+    default_quant = "int8" if jax.default_backend() not in ("cpu", "gpu") else "none"
+    serving_quant = os.environ.get("REVISIONLLM_QUANT", default_quant)
+    if serving_quant == "int8":
+        from revisionllm_tpu.ops.quant import quantize_llama_params_host
+
+        params = quantize_llama_params_host(params)
     params = jnp_tree(params)
     # note: llama.fuse_layer_matrices (qkv/gateup fusion) measured NEUTRAL to
     # slightly negative at these shapes (the gate/up split copies large

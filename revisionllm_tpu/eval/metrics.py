@@ -316,6 +316,15 @@ def fuse_retrieval_grounding(
         gl_idx = [
             i for i, a in enumerate(gl["answer"]) if a != "Not Present" and a != "From 249 to 249."
         ]
+        if len(gl["info"].get("iou", [])) != len(gl_idx):
+            # malformed record: an answer that is neither 'Not Present' nor a
+            # parseable span (an untrained model can emit these; a trained one
+            # cannot). The reference crashes on the misaligned gl_idx lookup
+            # (:145); we keep the record unfused instead.
+            total.append(len(gl["answer"]))
+            selected.append(len(gl["answer"]))
+            fused.append(gl)
+            continue
         if single:
             for output in list(rl["info"]["frames"].values()):
                 frames.extend(

@@ -54,6 +54,12 @@ def parse_args(argv=None):
     p.add_argument("--clip_adapter_text", type=str2bool, default=False)
     p.add_argument("--hierarchy", type=str2bool, default=False)
     p.add_argument("--mad_prompt", type=str, default="mad_grounding")
+    # adapter geometry (reference hard-codes 768/8/2/2048 in
+    # adapter/transformer.py:77-85; flags allow small-model integration runs)
+    p.add_argument("--adapter_d_model", type=int, default=768)
+    p.add_argument("--adapter_heads", type=int, default=8)
+    p.add_argument("--adapter_layers", type=int, default=2)
+    p.add_argument("--adapter_ffn", type=int, default=2048)
     p.add_argument("--max_new_tokens", type=int, default=32)
     p.add_argument("--baseline", type=str2bool, default=False)
     p.add_argument("--plus_baseline", type=str2bool, default=False)
@@ -146,13 +152,19 @@ def run(args, engine: GroundingEngine) -> Dict[str, int]:
             timestamps = data["timestamps"]
             gt = (timestamps[0] / duration, timestamps[1] / duration)
             num_frames_video = int(duration * args.num_frames / args.debug_window)
-            _, ious, scores = M.stage1_iou(
+            # res["scores"] is already per-PROPOSAL (the engine replicates
+            # the reference's parse -> cosine -> normalize -> merge chain,
+            # eval_nlq_negative.py:281-336), in ascending-window order —
+            # the same order stage1_iou emits ious. Passing it back through
+            # stage1_iou's per-window filtering would mis-index (it expects
+            # one score per WINDOW, reference :291-298).
+            _, ious, _ = M.stage1_iou(
                 res["answers"], gt, args.num_frames, num_frames_video,
-                res["scores"], getattr(args, "plus_baseline", False),
+                [], getattr(args, "plus_baseline", False),
             )
             M.write_log(
                 prediction_path, movie, "grounding", qid, res["answers"],
-                info={"iou": ious, "scores": scores},
+                info={"iou": ious, "scores": res["scores"]},
             )
             n_done += 1
             latencies.append(_time.time() - _t0)

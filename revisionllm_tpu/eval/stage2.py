@@ -49,6 +49,12 @@ def parse_args(argv=None):
     p.add_argument("--clip_adapter", type=str2bool, default=True)
     p.add_argument("--clip_adapter_text", type=str2bool, default=True)
     p.add_argument("--hierarchy", type=str2bool, default=True)
+    # adapter geometry (reference hard-codes 768/8/2/2048 in
+    # adapter/transformer.py:77-85; flags allow small-model integration runs)
+    p.add_argument("--adapter_d_model", type=int, default=768)
+    p.add_argument("--adapter_heads", type=int, default=8)
+    p.add_argument("--adapter_layers", type=int, default=2)
+    p.add_argument("--adapter_ffn", type=int, default=2048)
     p.add_argument("--max_new_tokens", type=int, default=32)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--debug", type=str2bool, default=False)

@@ -211,6 +211,34 @@ def q8_apply(
     return x @ dequantize_int8(w["q8"], w["scale"], x.dtype)
 
 
+def quantize_llama_params_host(params, quantize_lm_head: bool = True):
+    """Numpy (host-RAM) variant of quantize_llama_params: quantize a
+    CONVERTED checkpoint before any device transfer, so loading a real 7B
+    never stages the 13.5 GB bf16 tree in HBM next to its int8 copy."""
+    import numpy as np
+
+    def q(w):
+        wf = np.asarray(w, dtype=np.float32)
+        absmax = np.max(np.abs(wf), axis=-2)
+        scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+        vals = np.clip(np.round(wf / scale[..., None, :]), -127, 127).astype(np.int8)
+        return {"q8": vals, "scale": scale}
+
+    out = dict(params)
+    layers = {}
+    for name, w in params["layers"].items():
+        if name.endswith("_norm") or name.endswith("_bias") or (
+            hasattr(w, "ndim") and w.ndim < 3
+        ):
+            layers[name] = w
+        else:
+            layers[name] = q(w)
+    out["layers"] = layers
+    if quantize_lm_head and not isinstance(params["lm_head"], dict):
+        out["lm_head"] = q(params["lm_head"])
+    return out
+
+
 def quantize_llama_params(params, quantize_lm_head: bool = True):
     """Quantize all stacked layer matrices (and optionally lm_head) of a
     models/llama param tree to int8. Norms and embed stay bf16."""
