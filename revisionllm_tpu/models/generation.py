@@ -52,6 +52,26 @@ def _kv8_enabled() -> bool:
     return _KV8
 
 
+_MEGAKERNEL = None
+
+
+def set_megakernel(enabled: Optional[bool]) -> None:
+    global _MEGAKERNEL
+    _MEGAKERNEL = enabled
+
+
+def _megakernel_enabled() -> bool:
+    """Fused whole-step decode kernel (ops/decode_step.py). Requires the int8
+    serving tree + KV8; REVISIONLLM_MEGAKERNEL=0/1 overrides."""
+    global _MEGAKERNEL
+    if _MEGAKERNEL is None:
+        import os
+
+        # opt-in until the on-chip measurement flips it (BENCH_NOTES)
+        _MEGAKERNEL = os.environ.get("REVISIONLLM_MEGAKERNEL", "0") == "1"
+    return _MEGAKERNEL
+
+
 def generate(
     cfg: LlamaConfig,
     params: Dict[str, Any],
@@ -89,19 +109,54 @@ def generate(
             cfg, params, embeds, positions, kv_lens=prompt_lens,
             use_pallas=use_pallas, kv_quant=_kv8_enabled(),
         )
-    gen_cache = {
-        "k": jnp.zeros(
-            (cfg.num_layers, B, G, cfg.num_kv_heads, cfg.head_dim), embeds.dtype
-        ),
-        "v": jnp.zeros(
-            (cfg.num_layers, B, G, cfg.num_kv_heads, cfg.head_dim), embeds.dtype
-        ),
-    }
+    from revisionllm_tpu.ops import decode_step as DS
+
+    use_mega = (
+        _megakernel_enabled()
+        and _kv8_enabled()
+        and "k_scale" in prompt_kv
+        and DS.supports_megakernel(cfg, params)
+    )
+    if use_mega:
+        pkv_packed = DS.pack_prompt_kv(prompt_kv)
+        gen_cache = DS.init_gen_cache(
+            cfg.num_layers, B, cfg.num_kv_heads, cfg.head_dim, G, embeds.dtype
+        )
+    else:
+        gen_cache = {
+            "k": jnp.zeros(
+                (cfg.num_layers, B, G, cfg.num_kv_heads, cfg.head_dim), embeds.dtype
+            ),
+            "v": jnp.zeros(
+                (cfg.num_layers, B, G, cfg.num_kv_heads, cfg.head_dim), embeds.dtype
+            ),
+        }
 
     def select_token(logits, step_rng):
         if temperature > 0.0:
             return jax.random.categorical(step_rng, logits / temperature, axis=-1)
         return jnp.argmax(logits, axis=-1)
+
+    def decode_one(gen_cache, g, tok_embed):
+        if not use_mega:
+            return llama.decode_step_split(
+                cfg, params, prompt_kv, prompt_lens, gen_cache, g,
+                tok_embed.astype(embeds.dtype),
+            )
+        from revisionllm_tpu.ops.norms import rms_norm
+        from revisionllm_tpu.ops.rope import rope_angles
+
+        pos = (prompt_lens + g)[:, None]
+        rotary_dim = int(cfg.head_dim * cfg.rope_fraction)
+        cos, sin = rope_angles(pos, rotary_dim, cfg.rope_theta)
+        hidden, gen_cache = DS.decode_step_fused(
+            params, pkv_packed, gen_cache, prompt_lens, g,
+            tok_embed[:, 0, :].astype(embeds.dtype), cos[:, 0], sin[:, 0],
+            eps=cfg.rms_norm_eps,
+        )
+        h = rms_norm(hidden[:, None, :], params["final_norm"], cfg.rms_norm_eps)
+        logits = llama.logits_from_hidden(params, h[:, 0])
+        return logits, gen_cache
 
     def step(carry, g):
         gen_cache, logits, done, rng = carry
@@ -117,10 +172,7 @@ def generate(
         token_out = jnp.where(valid, token, eos_id)
 
         tok_embed = llama.embed_tokens(params, token_out[:, None])
-        next_logits, gen_cache = llama.decode_step_split(
-            cfg, params, prompt_kv, prompt_lens, gen_cache, g,
-            tok_embed.astype(embeds.dtype),
-        )
+        next_logits, gen_cache = decode_one(gen_cache, g, tok_embed)
         done = jnp.logical_or(done, token_out == eos_id)
         return (gen_cache, next_logits, done, rng), (
             token_out, entropy, logprob, valid,

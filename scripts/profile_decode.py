@@ -86,6 +86,38 @@ def main(argv=None):
     group = H // KH
     quantized = kv8
 
+    def make_fused():
+        """The ops/decode_step.py megakernel in the same 12-step harness."""
+        from revisionllm_tpu.ops import decode_step as DS
+        from revisionllm_tpu.ops.norms import rms_norm
+        from revisionllm_tpu.ops.rope import rope_angles as RA
+
+        pkv_packed = DS.pack_prompt_kv(prompt_kv)
+        genkv0 = DS.init_gen_cache(L, B, KH, hd, G, dtype)
+
+        def run(params, pkv_packed, genkv0, tok0):
+            def sstep(carry, g):
+                genkv, te = carry
+                pos = (prompt_lens + g)[:, None]
+                cos, sin = RA(pos, hd, cfg.rope_theta)
+                hidden, genkv = DS.decode_step_fused(
+                    params, pkv_packed, genkv, prompt_lens, g,
+                    te[:, 0, :], cos[:, 0], sin[:, 0], eps=cfg.rms_norm_eps,
+                )
+                h = rms_norm(hidden[:, None, :], params["final_norm"], cfg.rms_norm_eps)
+                logits = q8_apply(h[:, 0], params["lm_head"]).astype(jnp.float32)
+                nxt = jnp.argmax(logits, -1)
+                te = llama.embed_tokens(params, nxt[:, None]).astype(dtype)
+                return (genkv, te), logits
+
+            (_, _), ls = jax.lax.scan(
+                sstep, (genkv0, tok0), jnp.arange(G, dtype=jnp.int32)
+            )
+            return ls
+
+        fn = jax.jit(run)
+        return lambda p, pk, g0, t0: fn(p, pkv_packed, genkv0, t0)
+
     def make_step(variant):
         """One decode step mirroring llama.decode_step_split with ablations."""
 
@@ -191,7 +223,7 @@ def main(argv=None):
 
     results = {}
     for variant in args.variants.split(","):
-        fn = make_step(variant)
+        fn = make_fused() if variant == "fused" else make_step(variant)
         t0 = time.time()
         out = np.asarray(fn(params, prompt_kv, gen0, tok0))
         compile_s = time.time() - t0
