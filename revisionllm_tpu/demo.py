@@ -68,6 +68,22 @@ class ChatSession:
         self.history.append((question, answer))
         return answer
 
+    def ask_stream(self, question: str):
+        """Yield the growing answer text token by token (the reference
+        demo's TextStreamer behavior, demo_gradio.py:133-141)."""
+        from revisionllm_tpu.inference import inference_stream
+
+        if not self.history:
+            question = "<video>\n" + question
+        answer = ""
+        for answer in inference_stream(
+            self.llama_cfg, self.adapter_cfg, self.params, self.vision,
+            self.tokenizer, self.features[None], question,
+            max_new_tokens=self.max_new_tokens, history=self.history,
+        ):
+            yield answer
+        self.history.append((question, answer))
+
 
 def repl(session: ChatSession) -> None:
     print("video loaded — ask questions (empty line to exit)")
@@ -78,7 +94,14 @@ def repl(session: ChatSession) -> None:
             return
         if not q:
             return
-        print("assistant>", session.ask(q))
+        # stream tokens as they decode (reference demo_gradio.py:133-141)
+        print("assistant> ", end="", flush=True)
+        shown = 0
+        answer = ""
+        for answer in session.ask_stream(q):
+            print(answer[shown:], end="", flush=True)
+            shown = len(answer)
+        print()
 
 
 def launch_gradio(make_session, host: str = "0.0.0.0", port: int = 7860):

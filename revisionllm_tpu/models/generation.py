@@ -206,3 +206,48 @@ def entropy_stats_from_steps(
     var = jnp.sum(m * (entropy - e_mean[:, None]) ** 2, axis=1) / jnp.maximum(n - 1.0, 1.0)
     e_std = jnp.where(n > 1, jnp.sqrt(var), 0.0)
     return jnp.stack([e_max, e_min, e_mean, e_std], axis=1)
+
+
+def generate_stream(
+    cfg: LlamaConfig,
+    params: Dict[str, Any],
+    embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    prompt_lens: jnp.ndarray,
+    *,
+    eos_id: int,
+    max_new_tokens: int,
+    use_pallas: Optional[bool] = None,
+):
+    """Token-by-token greedy decoding as a Python generator (yields int token
+    ids for row 0). The streaming counterpart of `generate` for interactive
+    use — the role of the reference demo's TextStreamer
+    (demo_gradio.py:133-141): one host round-trip per token instead of one
+    compiled scan, trading throughput for immediate output."""
+    B = embeds.shape[0]
+    prompt_lens = prompt_lens.astype(jnp.int32)
+    logits, prompt_kv = llama.prefill_kv(
+        cfg, params, embeds, positions, kv_lens=prompt_lens,
+        use_pallas=use_pallas, kv_quant=_kv8_enabled(),
+    )
+    G = max_new_tokens
+    gen_cache = {
+        "k": jnp.zeros((cfg.num_layers, B, G, cfg.num_kv_heads, cfg.head_dim), embeds.dtype),
+        "v": jnp.zeros((cfg.num_layers, B, G, cfg.num_kv_heads, cfg.head_dim), embeds.dtype),
+    }
+    import numpy as np
+
+    step_fn = jax.jit(
+        lambda p, pkv, gc, s, te: llama.decode_step_split(
+            cfg, p, pkv, prompt_lens, gc, s, te
+        )
+    )
+    for g in range(G):
+        token = int(np.asarray(jnp.argmax(logits[0])))
+        if token == eos_id:
+            return
+        yield token
+        te = llama.embed_tokens(params, jnp.full((B, 1), token, jnp.int32))
+        logits, gen_cache = step_fn(
+            params, prompt_kv, gen_cache, jnp.int32(g), te.astype(embeds.dtype)
+        )

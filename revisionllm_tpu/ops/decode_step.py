@@ -3,11 +3,17 @@
 ONE Pallas program runs the entire L-layer transformer decode step: RMSNorm,
 int8-weight q/k/v/o/gate/up/down matmuls with per-channel scales, RoPE,
 int8-KV attention over [prompt | generated | self], residuals and SwiGLU —
-weights and KV streamed HBM->VMEM with double-buffered async DMA. Replaces
+weights and KV streamed HBM->VMEM with double-buffered async DMA, replacing
 the ~224 kernel launches + XLA glue of the scan-based `decode_step_split`
-path, whose end-to-end ablation (BENCH_NOTES round-2 decomposition) showed
-~2-3x per-op overhead over the HBM streaming floor on both the matmul chain
-and the attention einsums.
+path.
+
+STATUS (measured on v5e, BENCH_NOTES 'megakernel series'): OPT-IN
+(REVISIONLLM_MEGAKERNEL=1). The kernel beats the scan path on the matmul
+chain (10.8 vs 15.5 ms/step) but its in-kernel attention runs ~27 us per
+(row, layer) vs XLA's einsum at 9.6 us, so the full step measures 38 vs
+26 ms at B=32. Kept as a correct, parity-tested path with its measurements;
+the credible route to <=18 ms is a contiguous-chunk serving weight layout
+(shared with prefill) + multi-row attention batching in the freed VMEM.
 
 Parity role: the decode half of the reference's flash-attn monkey patch
 (revisionllm/train/llama_flash_attn_monkey_patch.py:19-102) — the hot
@@ -67,12 +73,13 @@ def _round_up(x: int, m: int) -> int:
 def pack_prompt_kv(prompt_kv: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     """Quantized split-cache {'k','k_scale','v','v_scale'} [L,B,S,KH,hd] ->
     megakernel layout: kv [L, B, 2, KH, Sp, hd] int8 (head-major, k/v
-    combined so attention pays ONE slab DMA per row) + kvsc
-    [L, B, 2, KH, Sp] f32."""
+    combined so attention pays ONE slab DMA per row; S padded to the int8
+    DMA granularity of 128 sublanes) + kvsc [L, B, 2, KH, Sp] f32."""
     k, v = prompt_kv["k"], prompt_kv["v"]
     ks, vs = prompt_kv["k_scale"], prompt_kv["v_scale"]
     L, B, S, KH, hd = k.shape
-    Sp = _round_up(S, 32)
+    # int8 HBM slabs DMA along the S (sublane) dim at 128-row granularity
+    Sp = _round_up(S, 128)
 
     def hm(x):  # [L,B,S,KH,hd] -> [L,B,KH,Sp,hd]
         x = jnp.transpose(x, (0, 1, 3, 2, 4))
@@ -140,7 +147,7 @@ def _decode_kernel(
     x_out_ref, newkv_ref,
     # scratch
     wbuf, dbuf, kvbuf, scbuf, genbuf,
-    xres, qbuf, kbuf, vbuf, attnbuf, mbuf, yacc,
+    xres, qbuf, kbuf, vbuf, attnbuf, mbuf, yacc, qrep, pr1,
     wsem, dsem, kvsem, scsem, gensem,
     *,
     cfg: Dict[str, int],
@@ -269,6 +276,8 @@ def _decode_kernel(
         diagT = jnp.concatenate(cols, axis=1)  # [X, H]
         return jnp.transpose(diagT, (1, 0)).astype(jnp.float32)  # [H, X]
 
+    batched = cfg.get("attn_mode", "batched") == "batched"
+
     for b in range(B):
         if b + 1 < B:
             for d in kv_dmas(b + 1):
@@ -276,35 +285,61 @@ def _decode_kernel(
         kv_d, sc_d, gen_d = kv_dmas(b)
         plen = plen_ref[b]
 
-        # ---- scores vs prompt: one int8 MXU dot over all heads
         q_b = qbuf[b : b + 1, :].reshape(H, hd)  # f32 [H, hd]
-        qmax = jnp.max(jnp.abs(q_b), axis=-1, keepdims=True)
-        qsc = jnp.where(qmax > 0, qmax / 127.0, 1.0)  # [H, 1]
-        q_i8 = jnp.clip(jnp.round(q_b / qsc), -127, 127).astype(jnp.int8)
-        q_i8T = jnp.transpose(q_i8, (1, 0))  # [hd, H]
-
         kv_d.wait()
-        k_flat = kvbuf[b % 2, 0].reshape(H * Sp, hd)  # int8
-        s_all = jax.lax.dot_general(
-            k_flat, q_i8T, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # [H*Sp, H]
-        s_diag = diag_from_flat(s_all, Sp)  # [H, Sp] f32
         sc_d.wait()
-        ksc = scbuf[b % 2, 0]  # [H, Sp]
-        s1 = s_diag * ksc * (qsc * scale)
-        s1 = jnp.where(s_iota < plen, s1, NEG_INF)
-
-        # ---- scores vs generated (same flat-dot + diag extract) + self
         gen_d.wait()
-        gk_flat = genbuf[b % 2, 0].reshape(H * Gp, hd).astype(jnp.bfloat16)
-        qbT = jnp.transpose(q_b.astype(jnp.bfloat16), (1, 0))  # [hd, H]
-        g_all = jax.lax.dot_general(
-            gk_flat, qbT, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [H*Gp, H]
-        s2 = diag_from_flat(g_all, Gp) * scale  # [H, Gp]
-        s2 = jnp.where(g_iota < step, s2, NEG_INF)
+        ksc = scbuf[b % 2, 0]  # [H, Sp]
+        vsc = scbuf[b % 2, 1]
+
+        if batched:
+            # ---- batched-over-heads dots: one dot_general per contraction,
+            # no flat cross-head matrix, no diag extraction / blockdiag
+            # construction (the ~70 small relayout ops of the flat path were
+            # ~3x XLA's attention cost; the MXU's per-head fixed cost is
+            # cheaper than that op storm). Mosaic requires a non-empty
+            # non-contracting dim on both operands, so the q/p vectors ride
+            # in row 0 of an 8-row (sublane-tile) staging buffer — rows 1-7
+            # hold stale garbage whose outputs are never read.
+            qrep[:, 0, :] = q_b.astype(jnp.bfloat16)
+            k_slab = kvbuf[b % 2, 0].astype(jnp.bfloat16)  # [H, Sp, hd]
+            s1_all = jax.lax.dot_general(
+                qrep[...], k_slab, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [H, 8, Sp]
+            s1 = s1_all[:, 0, :] * ksc * scale
+            s1 = jnp.where(s_iota < plen, s1, NEG_INF)
+            # gen side stays FLAT: its Gp=16 lane dims are below the native
+            # 128 and hit unsupported relayouts in the batched form
+            gk_flat = genbuf[b % 2, 0].reshape(H * Gp, hd).astype(jnp.bfloat16)
+            g_all = jax.lax.dot_general(
+                gk_flat, jnp.transpose(q_b.astype(jnp.bfloat16), (1, 0)),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [H*Gp, H]
+            s2 = diag_from_flat(g_all, Gp) * scale
+            s2 = jnp.where(g_iota < step, s2, NEG_INF)
+        else:
+            # ---- flat formulation (kept selectable; see BENCH_NOTES)
+            qmax = jnp.max(jnp.abs(q_b), axis=-1, keepdims=True)
+            qsc = jnp.where(qmax > 0, qmax / 127.0, 1.0)  # [H, 1]
+            q_i8 = jnp.clip(jnp.round(q_b / qsc), -127, 127).astype(jnp.int8)
+            k_flat = kvbuf[b % 2, 0].reshape(H * Sp, hd)  # int8
+            s_all = jax.lax.dot_general(
+                k_flat, jnp.transpose(q_i8, (1, 0)), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [H*Sp, H]
+            s1 = diag_from_flat(s_all, Sp) * ksc * (qsc * scale)
+            s1 = jnp.where(s_iota < plen, s1, NEG_INF)
+            gk_flat = genbuf[b % 2, 0].reshape(H * Gp, hd).astype(jnp.bfloat16)
+            g_all = jax.lax.dot_general(
+                gk_flat, jnp.transpose(q_b.astype(jnp.bfloat16), (1, 0)),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [H*Gp, H]
+            s2 = diag_from_flat(g_all, Gp) * scale
+            s2 = jnp.where(g_iota < step, s2, NEG_INF)
+
         k_new = kbuf[b : b + 1, :].reshape(H, hd)
         s_self = jnp.sum(q_b * k_new, axis=-1, keepdims=True) * scale
 
@@ -325,27 +360,41 @@ def _decode_kernel(
             + ps
         )
 
-        # ---- outputs: blockdiag(p) @ V_flat — blockdiag rows built by
-        # lane-concatenating p H times and masking (pure 2D ops)
-        vsc = scbuf[b % 2, 1]  # [H, Sp]
         p1v = (p1 * vsc).astype(jnp.bfloat16)  # [H, Sp]
-        pbd = jnp.where(
-            bd_s, jnp.concatenate([p1v] * H, axis=1), jnp.bfloat16(0.0)
-        )  # [H, H*Sp]
-        v_flat = kvbuf[b % 2, 1].reshape(H * Sp, hd).astype(jnp.bfloat16)
-        o1 = jax.lax.dot_general(
-            pbd, v_flat, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [H, hd]
         p2b = p2.astype(jnp.bfloat16)
-        pbd2 = jnp.where(
-            bd_g, jnp.concatenate([p2b] * H, axis=1), jnp.bfloat16(0.0)
-        )  # [H, H*Gp]
-        gv_flat = genbuf[b % 2, 1].reshape(H * Gp, hd).astype(jnp.bfloat16)
-        o2 = jax.lax.dot_general(
-            pbd2, gv_flat, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [H, hd]
+        if batched:
+            pr1[:, 0, :] = p1v
+            v_slab = kvbuf[b % 2, 1].astype(jnp.bfloat16)  # [H, Sp, hd]
+            o1_all = jax.lax.dot_general(
+                pr1[...], v_slab, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [H, 8, hd]
+            o1 = o1_all[:, 0, :]
+            pbd2 = jnp.where(
+                bd_g, jnp.concatenate([p2b] * H, axis=1), jnp.bfloat16(0.0)
+            )  # [H, H*Gp]
+            gv_flat = genbuf[b % 2, 1].reshape(H * Gp, hd).astype(jnp.bfloat16)
+            o2 = jax.lax.dot_general(
+                pbd2, gv_flat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [H, hd]
+        else:
+            pbd = jnp.where(
+                bd_s, jnp.concatenate([p1v] * H, axis=1), jnp.bfloat16(0.0)
+            )  # [H, H*Sp]
+            v_flat = kvbuf[b % 2, 1].reshape(H * Sp, hd).astype(jnp.bfloat16)
+            o1 = jax.lax.dot_general(
+                pbd, v_flat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [H, hd]
+            pbd2 = jnp.where(
+                bd_g, jnp.concatenate([p2b] * H, axis=1), jnp.bfloat16(0.0)
+            )  # [H, H*Gp]
+            gv_flat = genbuf[b % 2, 1].reshape(H * Gp, hd).astype(jnp.bfloat16)
+            o2 = jax.lax.dot_general(
+                pbd2, gv_flat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         o3 = ps * vbuf[b : b + 1, :].reshape(H, hd)
         o = (o1 + o2 + o3) / denom
         attnbuf[b : b + 1, :] = o.reshape(1, H * hd)
@@ -440,7 +489,7 @@ def _decode_kernel(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret", "block_n", "block_f"))
+@functools.partial(jax.jit, static_argnames=("eps", "interpret", "block_n", "block_f", "attn_mode"))
 def decode_step_fused(
     params: Dict[str, Any],
     pkv: Dict[str, Any],
@@ -452,8 +501,9 @@ def decode_step_fused(
     sin: jnp.ndarray,
     eps: float = 1e-5,
     interpret: bool = False,
-    block_n: int = 512,
-    block_f: int = 512,
+    block_n: int = 1024,
+    block_f: int = 1024,
+    attn_mode: str = "batched",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One fused decode step from the engine's standard quantized tree.
 
@@ -469,7 +519,7 @@ def decode_step_fused(
     Gp = genkv.shape[4]
     BN = min(block_n, D)
     BF = min(block_f, F)
-    cfg = dict(B=B, D=D, H=H, hd=hd, F=F, BN=BN, BF=BF, Sp=Sp, Gp=Gp)
+    cfg = dict(B=B, D=D, H=H, hd=hd, F=F, BN=BN, BF=BF, Sp=Sp, Gp=Gp, attn_mode=attn_mode)
 
     kernel = functools.partial(_decode_kernel, cfg=cfg, eps=eps)
 
@@ -533,6 +583,8 @@ def decode_step_fused(
             pltpu.VMEM((B, D), jnp.float32),            # attnbuf
             pltpu.VMEM((B, F), jnp.bfloat16),           # mbuf
             pltpu.VMEM((B, D), jnp.float32),            # yacc
+            pltpu.VMEM((H, 8, hd), jnp.bfloat16),       # qrep (row 0 live)
+            pltpu.VMEM((H, 8, Sp), jnp.bfloat16),       # pr1 (row 0 live)
             pltpu.SemaphoreType.DMA((2,)),              # wsem
             pltpu.SemaphoreType.DMA((2,)),              # dsem
             pltpu.SemaphoreType.DMA((2,)),              # kvsem

