@@ -74,8 +74,19 @@ def inference(
         if adapter_cfg.kind == "mlp":
             memory_tokens = jnp.asarray(mem) @ proj["w"] + proj["b"]
         else:
-            raise NotImplementedError(
-                "memory projection requires the mlp projector (stream configs)"
+            # the reference calls the adapter MODULE on the memory clip
+            # exactly like a video window (vtimellm_arch.py:221-222:
+            # `self.get_model().mm_projector(vis_mem)`); for a ClipEncoder
+            # projector that is the temporal per-frame encoding. (Trained
+            # stream configs all use the mlp projector; this keeps the API
+            # surface of the reference for the untrained combination.)
+            import dataclasses as _dc
+
+            dense_cfg = _dc.replace(
+                adapter_cfg, hierarchy=False, feature_mode="temporal"
+            )
+            memory_tokens = revisionllm.encode_video(
+                dense_cfg, vision_params, jnp.asarray(mem, jnp.float32)
             )
         if prefix_memory_ids is not None:
             from revisionllm_tpu.models.llama import embed_tokens

@@ -1,5 +1,13 @@
 """Pallas decode-attention kernel (head-major split-KV layout).
 
+STUDY ARTIFACT — NOT ON THE SERVING PATH. Every variant in this module was
+measured SLOWER than the XLA einsum path it targets (BENCH_NOTES
+'Decode-step deep dive': per-grid-cell fixed cost dominates at the 32k
+cells/step this granularity implies); the round-2 whole-step megakernel
+(ops/decode_step.py) is the successor experiment and carries the same
+conclusion at kernel scope. Kept, with its tests, as the recorded negative
+result that shaped the decode roadmap.
+
 The XLA einsum path for single-token decode attention runs ~19x off the
 KV-read floor on v5e (measured 8.4 ms/step vs 0.45 ms floor at B=32, S=318,
 32 heads — batched [1,128]x[128,S] matvecs tile poorly, and changing the

@@ -114,3 +114,37 @@ class TestStreaming:
         for a, b in zip(chunks, chunks[1:]):
             assert b.startswith(a.split("?")[0][: len(a) // 2]) or True
         assert chunks[-1] == ref
+
+
+class TestClipEncoderMemory:
+    def test_visual_memory_with_clip_adapter(self):
+        """Memory projection through a ClipEncoder adapter must run (the
+        reference calls the adapter module on the memory clip,
+        vtimellm_arch.py:221-222) instead of raising."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from revisionllm_tpu.config import AdapterConfig, LlamaConfig
+        from revisionllm_tpu.inference import inference
+        from revisionllm_tpu.models import llama, revisionllm
+
+        cfg = LlamaConfig(**{**LlamaConfig.tiny().__dict__, "dtype": "float32"})
+        acfg = AdapterConfig(
+            d_model=16, num_heads=4, num_layers=2, ffn_dim=32,
+            hidden_size=cfg.hidden_size, clip_adapter_text=False,
+            hierarchy=False, feature_mode="temporal",
+        )
+        params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+        vision = revisionllm.init_vision_params(acfg, jax.random.PRNGKey(1), d_in=16)
+        tok = FakeTokenizer()
+        for i in range(300):
+            tok._id(str(i))
+        rng = np.random.default_rng(0)
+        feats = rng.normal(size=(1, 8, 16)).astype(np.float32)
+        mem = rng.normal(size=(1, 2, 16)).astype(np.float32)
+        ans, out = inference(
+            cfg, acfg, params, vision, tok, feats,
+            "<video>\nwhen", visual_memory=mem, max_new_tokens=4,
+        )
+        assert isinstance(ans, str)
