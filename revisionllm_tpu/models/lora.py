@@ -65,7 +65,16 @@ def merge(params: Params, lora: Params, lora_cfg: LoraConfig) -> Params:
         delta = jnp.einsum(
             "ldr,lro->ldo", mats["a"].astype(jnp.float32), mats["b"].astype(jnp.float32)
         ) * scale
-        new_layers[name] = (w.astype(jnp.float32) + delta).astype(w.dtype)
+        if isinstance(w, dict) and "q8" in w:
+            # int8 frozen base (QLoRA-style stage machine): dequantize,
+            # fold, requantize per output channel
+            from revisionllm_tpu.ops.quant import dequantize_int8, quantize_int8
+
+            merged = dequantize_int8(w["q8"], w["scale"], jnp.float32) + delta
+            q, s = quantize_int8(merged)
+            new_layers[name] = {"q8": q, "scale": s}
+        else:
+            new_layers[name] = (w.astype(jnp.float32) + delta).astype(w.dtype)
     out = dict(params)
     out["layers"] = new_layers
     return out

@@ -24,20 +24,35 @@ ROW_PARALLEL = {"o_proj", "down_proj"}
 
 
 def llama_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
-    """PartitionSpec pytree matching models/llama.init_params structure."""
+    """PartitionSpec pytree matching models/llama.init_params structure.
+
+    Quantized {'q8','scale'} leaves (int8 frozen-base training / serving)
+    get the matrix spec on values and the output-channel sharding on the
+    per-channel scale row."""
     layer_specs = {}
-    for name in params["layers"]:
+    for name, w in params["layers"].items():
         if name in COLUMN_PARALLEL:
-            layer_specs[name] = P(None, "fsdp", "tensor")
+            spec = P(None, "fsdp", "tensor")
         elif name in ROW_PARALLEL:
-            layer_specs[name] = P(None, "tensor", "fsdp")
+            spec = P(None, "tensor", "fsdp")
         else:  # norms [L, D]
             layer_specs[name] = P(None, None)
+            continue
+        if isinstance(w, dict) and "q8" in w:
+            layer_specs[name] = {"q8": spec, "scale": P(None, spec[2])}
+        else:
+            layer_specs[name] = spec
+    lm = params.get("lm_head")
+    lm_spec = (
+        {"q8": P("fsdp", "tensor"), "scale": P("tensor")}
+        if isinstance(lm, dict) and "q8" in lm
+        else P("fsdp", "tensor")
+    )
     return {
         "embed": P("fsdp", "tensor"),
         "layers": layer_specs,
         "final_norm": P(None),
-        "lm_head": P("fsdp", "tensor"),
+        "lm_head": lm_spec,
     }
 
 

@@ -39,6 +39,9 @@ from revisionllm_tpu.utils.logging import MetricLogger
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="revisionllm_tpu training")
     p.add_argument("--preset", type=str, default="stage1_dense")
+    p.add_argument("--quant_base", action="store_true",
+                   help="freeze the backbone as int8 (QLoRA-style): a 7B "
+                        "base + LoRA + activations fits one 16 GB chip")
     p.add_argument("--model_base", type=str, default=None,
                    help="HF Vicuna dir; random init if omitted (smoke runs)")
     p.add_argument("--stage2_path", type=str, default=None)
@@ -110,7 +113,32 @@ def main(argv=None):
 
         llama_cfg = llama_config_from_hf(args.model_base)
         base = convert_llama(load_hf_llama_state(args.model_base), llama_cfg, np.float32)
-        base = jax.tree.map(lambda x: jnp.asarray(x, dtype), base)
+        if args.quant_base:
+            from revisionllm_tpu.ops.quant import quantize_llama_params_host
+
+            # host-side quantization BEFORE device transfer (a 13.5 GB bf16
+            # 7B would not fit next to activations on a 16 GB chip); the
+            # loss traces through the differentiable dequant route
+            # (trainer._dequant_trace). Quant scales stay f32.
+            base = quantize_llama_params_host(base, quantize_lm_head=False)
+
+            def _dev(tree):
+                out = {}
+                for k, v in tree.items():
+                    if isinstance(v, dict) and "q8" in v:
+                        out[k] = {
+                            "q8": jnp.asarray(v["q8"]),
+                            "scale": jnp.asarray(v["scale"]),
+                        }
+                    elif isinstance(v, dict):
+                        out[k] = _dev(v)
+                    else:
+                        out[k] = jnp.asarray(v, dtype)
+                return out
+
+            base = _dev(base)
+        else:
+            base = jax.tree.map(lambda x: jnp.asarray(x, dtype), base)
         from transformers import AutoTokenizer
 
         tokenizer = AutoTokenizer.from_pretrained(args.model_base, use_fast=True)

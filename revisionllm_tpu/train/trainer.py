@@ -29,6 +29,24 @@ from revisionllm_tpu.models import revisionllm
 
 Params = Dict[str, Any]
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _dequant_trace():
+    """Force the differentiable dequant+dot route for int8 base weights
+    while a loss is being TRACED (QLoRA-style training: frozen int8 base +
+    LoRA/adapter grads). The W8A8 activation path contains `round()` whose
+    zero derivative would sever gradient flow to earlier layers' LoRA."""
+    from revisionllm_tpu.ops import quant
+
+    prev = quant._W8A8_PREFILL
+    quant.set_w8a8(False)
+    try:
+        yield
+    finally:
+        quant.set_w8a8(prev)
+
 
 def build_trainable(
     llama_cfg: LlamaConfig,
@@ -93,23 +111,24 @@ def make_loss_fn(
         plan = {
             k: batch[k] for k in ("text_ids", "kind", "src_idx", "labels", "positions", "lengths")
         }
-        loss = revisionllm.forward_train(
-            llama_cfg,
-            adapter_cfg,
-            base_params,
-            vision,
-            plan,
-            batch["images"],
-            query_feats=batch.get("query_feats"),
-            query_valid=batch.get("query_valid"),
-            memory_tokens=batch.get("memory_tokens"),
-            lora=lora,
-            lora_scale=scale if lora is not None else 0.0,
-            iteration_step=iteration_step,
-            deterministic=False,
-            rng=rng,
-            remat=train_cfg.gradient_checkpointing,
-        )
+        with _dequant_trace():
+            loss = revisionllm.forward_train(
+                llama_cfg,
+                adapter_cfg,
+                base_params,
+                vision,
+                plan,
+                batch["images"],
+                query_feats=batch.get("query_feats"),
+                query_valid=batch.get("query_valid"),
+                memory_tokens=batch.get("memory_tokens"),
+                lora=lora,
+                lora_scale=scale if lora is not None else 0.0,
+                iteration_step=iteration_step,
+                deterministic=False,
+                rng=rng,
+                remat=train_cfg.gradient_checkpointing,
+            )
         return loss
 
     return loss_fn
@@ -146,21 +165,22 @@ def make_stream_loss_fn(
         )
 
         plan2 = {k: batch[f"c2_{k}"] for k in plan_keys}
-        loss = revisionllm.forward_train(
-            llama_cfg, adapter_cfg, base_params, vision, plan2,
-            batch["c2_images"], memory_tokens=memory_tokens,
-            lora=lora, lora_scale=lscale, deterministic=False, rng=rng,
-            remat=train_cfg.gradient_checkpointing,
-        )
-        if train_cfg.stream_loss == "double":
-            plan1 = {k: batch[k] for k in plan_keys}
-            loss1 = revisionllm.forward_train(
-                llama_cfg, adapter_cfg, base_params, vision, plan1,
-                batch["images"], lora=lora, lora_scale=lscale,
-                deterministic=False, rng=rng,
+        with _dequant_trace():
+            loss = revisionllm.forward_train(
+                llama_cfg, adapter_cfg, base_params, vision, plan2,
+                batch["c2_images"], memory_tokens=memory_tokens,
+                lora=lora, lora_scale=lscale, deterministic=False, rng=rng,
                 remat=train_cfg.gradient_checkpointing,
             )
-            loss = loss + loss1
+            if train_cfg.stream_loss == "double":
+                plan1 = {k: batch[k] for k in plan_keys}
+                loss1 = revisionllm.forward_train(
+                    llama_cfg, adapter_cfg, base_params, vision, plan1,
+                    batch["images"], lora=lora, lora_scale=lscale,
+                    deterministic=False, rng=rng,
+                    remat=train_cfg.gradient_checkpointing,
+                )
+                loss = loss + loss1
         return loss
 
     return loss_fn
