@@ -86,6 +86,9 @@ class TestMesh:
 class TestTrainStep:
     def test_sharded_step_runs_and_decreases_loss(self, tiny):
         cfg, adapter_cfg, params, vision = tiny
+        # the sharded step DONATES its trainable; keep the module-scoped
+        # fixture's arrays alive for later tests
+        vision = jax.tree.map(jnp.array, vision)
         mesh = mesh_lib.create_mesh(2, 2, 2)
         train_cfg = TrainConfig(
             training_stage=2, lora=LoraConfig(r=4, alpha=8),
@@ -190,3 +193,45 @@ class TestShardedServing:
         np.testing.assert_array_equal(
             np.asarray(want["tokens"]), np.asarray(got["tokens"])
         )
+
+
+class TestShardedQLora:
+    def test_sharded_step_with_int8_base(self, tiny):
+        """The (data, fsdp, tensor)-sharded train step with an int8-quantized
+        frozen base: quantized-leaf PartitionSpecs + the forced-dequant loss
+        must compose under pjit on the virtual 2x2x2 mesh."""
+        from revisionllm_tpu.ops.quant import quantize_llama_params
+
+        cfg, adapter_cfg, params, vision = tiny
+        # the earlier sharded-step test DONATES its trainable (which holds
+        # the fixture's vision arrays); work on fresh copies
+        vision = jax.tree.map(jnp.array, vision)
+        qbase = quantize_llama_params(params, quantize_lm_head=False)
+        mesh = mesh_lib.create_mesh(2, 2, 2)
+        train_cfg = TrainConfig(
+            training_stage=2, lora=LoraConfig(r=4, alpha=8),
+            gradient_checkpointing=True, gradient_accumulation=1,
+            learning_rate=1e-3,
+        )
+        trainable, frozen, _ = trainer_lib.build_trainable(
+            cfg, train_cfg, vision, jax.random.PRNGKey(2)
+        )
+        optimizer = opt_lib.make_optimizer(train_cfg, total_steps=50)
+        opt_state = optimizer.init(trainable)
+
+        specs = shard_lib.llama_param_specs(qbase)
+        assert specs["layers"]["q_proj"]["q8"] is not None
+        base = shard_lib.shard_params(mesh, qbase, specs)
+        batch = _make_batch(B=4)
+        step = trainer_lib.make_sharded_train_step(
+            cfg, adapter_cfg, train_cfg, optimizer, mesh
+        )
+        losses = []
+        with mesh:
+            for i in range(3):
+                trainable, opt_state, metrics = step(
+                    trainable, frozen, base, opt_state, batch, jax.random.PRNGKey(i)
+                )
+                losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0]
