@@ -7,7 +7,10 @@ linspace-sampled to 250 frames; every window runs the full grounding forward
 -> Vicuna-7B prefill -> 12-token greedy decode with inline entropy capture).
 
 Windows are batched per LLM call (the reference uses batch=1 per A100;
-batching is the TPU win) in chunks sized to fit HBM next to the bf16 weights.
+batching is the TPU win) in chunks sized to fit HBM next to the int8
+weights + int8 prompt KV. Chunk 64 is the measured optimum of the round-2
+sweep (32: 0.476, 48: 0.512, 64: 0.525, 80: 0.522, 96: OOM); one 57-window
+movie fits a single chunk.
 
 `vs_baseline`: the reference repo publishes no throughput (BASELINE.md), so
 the denominator is an estimate of the reference's single-A100 rate on the
@@ -45,7 +48,7 @@ def main():
     from __graft_entry__ import _zeros_params
 
     n_layers = int(os.environ.get("BENCH_LAYERS", "32"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "32"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "64"))
     use_int8 = os.environ.get("BENCH_INT8", "1") == "1"
     # BENCH_QUANT=int4 swaps the weight format to group-wise int4 (W4A16):
     # 3.4 GB weights at 7B, freeing HBM for larger chunks / longer KV.
