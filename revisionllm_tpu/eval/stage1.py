@@ -106,15 +106,36 @@ def run(args, engine: GroundingEngine) -> Dict[str, int]:
 
     import time as _time
 
-    errors, n_done = [], 0
-    latencies = []
-    for qid, data in items:
-        if qid in done:
-            continue
-        _t0 = _time.time()
+    from revisionllm_tpu.data.prefetcher import prefetch_map
+
+    items = [(qid, data) for qid, data in items if qid not in done]
+
+    def _load(item):
+        """Heavy per-query host IO (feature track + query feats), run one
+        query AHEAD of the device in a background thread — the cross-query
+        half of the pipeline (the in-query chunk pipeline is in the engine).
+        Per-item errors are captured, not raised: the resume-on-error
+        semantics (reference eval_nlq_negative.py:334-341) must survive."""
+        qid, data = item
         try:
             movie = data.get("movie", data.get("clip_id", qid))
             features = vis_store.get(movie)
+            qf = qc = None
+            if q_store is not None:
+                qf, qc = q_store.get(qid)
+            return qid, data, movie, features, qf, qc, None
+        except Exception as e:  # noqa: BLE001
+            return qid, data, None, None, None, None, e
+
+    errors, n_done = [], 0
+    latencies = []
+    for qid, data, movie, features, query_feats, query_cls, load_err in (
+        prefetch_map(_load, items)
+    ):
+        _t0 = _time.time()
+        try:
+            if load_err is not None:
+                raise load_err
 
             if (
                 "movie_duration" in data
@@ -122,10 +143,6 @@ def run(args, engine: GroundingEngine) -> Dict[str, int]:
                 and args.skip_small_videos
             ):
                 continue
-
-            query_feats = query_cls = None
-            if q_store is not None:
-                query_feats, query_cls = q_store.get(qid)
 
             if getattr(args, "task", "grounding") in ("captioning", "all"):
                 # dense captioning per window (reference eval_nlq_negative.py:265-268)

@@ -125,21 +125,34 @@ def run(args, engine: GroundingEngine) -> Dict[str, int]:
     rng = np.random.default_rng(args.seed)
     import time as _time
 
-    errors, n_done = [], 0
-    latencies = []
-    for qid, data in items:
-        if qid in done:
-            continue
-        _t0 = _time.time()
+    from revisionllm_tpu.data.prefetcher import prefetch_map
+
+    items = [(qid, data) for qid, data in items if qid not in done]
+
+    def _load(item):
+        """Per-query host IO one query ahead (see stage1._load)."""
+        qid, data = item
         try:
             movie = data.get("movie", data.get("clip_id", qid))
             features = vis_store.get(movie)
+            qf = qc = None
+            if q_store is not None:
+                qf, qc = q_store.get(qid)
+            return qid, data, movie, features, qf, qc, None
+        except Exception as e:  # noqa: BLE001
+            return qid, data, None, None, None, None, e
+
+    errors, n_done = [], 0
+    latencies = []
+    for qid, data, movie, features, query_feats, query_cls, load_err in (
+        prefetch_map(_load, items)
+    ):
+        _t0 = _time.time()
+        try:
+            if load_err is not None:
+                raise load_err
             if "movie_duration" in data and data["movie_duration"] <= args.debug_window:
                 continue
-
-            query_feats = query_cls = None
-            if q_store is not None:
-                query_feats, query_cls = q_store.get(qid)
 
             sentence = (
                 data["sentence"].strip().lower()

@@ -125,6 +125,12 @@ def int8_matmul(
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # v5e offers ~45 MB of usable VMEM (measured, BENCH_NOTES
+            # megakernel series); the 16 MB default limit rejects
+            # REVISIONLLM_Q8_BN >= 2048 blocks
+            vmem_limit_bytes=int(
+                __import__("os").environ.get("REVISIONLLM_Q8_VMEM", str(40 * 2**20))
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * Np * Kp,
