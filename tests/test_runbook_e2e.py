@@ -177,3 +177,45 @@ class TestRunbookEndToEnd:
         for k in ("frames", "iou", "score_cos", "mean_entropy",
                   "max_entropy", "hierarchy_zooms"):
             assert k in info
+
+
+class TestLoaderServingQuant:
+    def test_loader_quantizes_when_forced(self, hf_dir, artifacts, monkeypatch):
+        """REVISIONLLM_QUANT=int8 routes the converted base through host
+        quantization (the TPU serving default; CPU default is 'none')."""
+        import argparse
+
+        monkeypatch.setenv("REVISIONLLM_QUANT", "int8")
+        from revisionllm_tpu.eval.loader import build_engine_from_args
+
+        args = argparse.Namespace(
+            model_base=hf_dir, stage2=artifacts["stage1"],
+            pretrain_clip_adapter=None, pretrain_mm_mlp_adapter=None,
+            stage3=None, clip_adapter=False, clip_adapter_text=False,
+            hierarchy=False, debug_window=20, num_frames=16, feature_fps=2.0,
+            batch=4, stride=2, split=0, total_split=1, max_new_tokens=4,
+        )
+        engine = build_engine_from_args(args)
+        w = engine.params["layers"]["q_proj"]
+        assert isinstance(w, dict) and "q8" in w
+        import numpy as np
+
+        assert np.asarray(w["q8"]).dtype == np.int8
+        # norms/embed stay dense
+        assert not isinstance(engine.params["layers"]["attn_norm"], dict)
+
+    def test_loader_dense_by_default_on_cpu(self, hf_dir, artifacts, monkeypatch):
+        import argparse
+
+        monkeypatch.delenv("REVISIONLLM_QUANT", raising=False)
+        from revisionllm_tpu.eval.loader import build_engine_from_args
+
+        args = argparse.Namespace(
+            model_base=hf_dir, stage2=artifacts["stage1"],
+            pretrain_clip_adapter=None, pretrain_mm_mlp_adapter=None,
+            stage3=None, clip_adapter=False, clip_adapter_text=False,
+            hierarchy=False, debug_window=20, num_frames=16, feature_fps=2.0,
+            batch=4, stride=2, split=0, total_split=1, max_new_tokens=4,
+        )
+        engine = build_engine_from_args(args)
+        assert not isinstance(engine.params["layers"]["q_proj"], dict)
