@@ -423,6 +423,43 @@ def prefill_kv(
     return logits_from_hidden(params, last), cache
 
 
+_ATTN8 = None
+
+
+def set_attn8(enabled) -> None:
+    global _ATTN8
+    _ATTN8 = enabled
+
+
+def _attn8_enabled() -> bool:
+    """Int8 MXU attention for the quantized-cache decode step: the KV8
+    einsum is VPU-CONVERT-bound (B=64 ablation: 18 ms vs the 6.5 ms KV-read
+    floor — the int8->float dequant paces it, not HBM), so q and the softmax
+    weights are quantized per head and the contractions run int8 x int8 on
+    the MXU with no per-element conversion. Adds ~0.3-0.4% relative noise to
+    scores/outputs (same class as KV8 itself).
+
+    MEASURED SLOWER end-to-end (BENCH_NOTES round-2: 2416 vs 2138 ms chunk
+    latency at chunk 64) — XLA lowers the batched int8 x int8 einsum worse
+    than the convert path it replaces. OPT-IN (REVISIONLLM_ATTN8=1), kept
+    with its parity test as a recorded negative result."""
+    global _ATTN8
+    if _ATTN8 is None:
+        import os
+
+        _ATTN8 = os.environ.get("REVISIONLLM_ATTN8", "0") == "1"
+    return _ATTN8
+
+
+def _quantize_rows(x: jnp.ndarray):
+    """absmax-int8 over the last axis: returns (int8 values, f32 scale with
+    the last axis reduced to 1)."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sc = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    return jnp.clip(jnp.round(xf / sc), -127, 127).astype(jnp.int8), sc
+
+
 def decode_step_split(
     cfg: LlamaConfig,
     params: Params,
@@ -439,6 +476,8 @@ def decode_step_split(
     step); new tokens land in the tiny gen_cache [L, B, G, KH, hd] at slot
     `step` (lockstep across rows, so the write is one dynamic_update_slice).
     Softmax over [prompt | generated] uses a two-piece max-merged softmax.
+    With a quantized prompt cache, the big contractions optionally run
+    int8 x int8 on the MXU (see _attn8_enabled).
     """
     B = token_embeds.shape[0]
     H, KH, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -484,17 +523,28 @@ def decode_step_split(
         qg = q.reshape(B, 1, KH, group, hd)
         scale = hd ** -0.5
 
-        # keep the cache operands in their storage dtype and accumulate in
-        # fp32 (preferred_element_type): an explicit .astype(f32) would
-        # MATERIALIZE a full fp32 copy of the prompt cache every step —
-        # tripling the dominant HBM read of decode
-        pk_op = pk if pk.dtype == qg.dtype else pk.astype(qg.dtype)
-        s1 = jnp.einsum(
-            "bokgd,bskd->bkgs", qg, pk_op, preferred_element_type=jnp.float32
-        ) * scale
-        if quantized:
-            # per-(position, head) dequant scale folded into the scores
+        attn8 = quantized and _attn8_enabled()
+        if attn8:
+            # int8 x int8 MXU contraction: no per-element dequant of the
+            # cache (the VPU convert was the measured bottleneck)
+            q_i8, q_sc = _quantize_rows(qg)  # scale [B, 1, KH, group, 1]
+            s1 = jnp.einsum(
+                "bokgd,bskd->bkgs", q_i8, pk, preferred_element_type=jnp.int32
+            ).astype(jnp.float32)
+            s1 = s1 * jnp.transpose(q_sc, (0, 2, 3, 1, 4))[..., 0] * scale
             s1 = s1 * jnp.transpose(ksc, (0, 2, 1))[:, :, None, :]
+        else:
+            # keep the cache operands in their storage dtype and accumulate
+            # in fp32 (preferred_element_type): an explicit .astype(f32)
+            # would MATERIALIZE a full fp32 copy of the prompt cache every
+            # step — tripling the dominant HBM read of decode
+            pk_op = pk if pk.dtype == qg.dtype else pk.astype(qg.dtype)
+            s1 = jnp.einsum(
+                "bokgd,bskd->bkgs", qg, pk_op, preferred_element_type=jnp.float32
+            ) * scale
+            if quantized:
+                # per-(position, head) dequant scale folded into the scores
+                s1 = s1 * jnp.transpose(ksc, (0, 2, 1))[:, :, None, :]
         s1 = jnp.where(prompt_mask[:, None, None, :], s1, -2.0e30)
         s2 = jnp.einsum(
             "bokgd,bskd->bkgs", qg, gk.astype(qg.dtype),
@@ -512,12 +562,19 @@ def decode_step_split(
             p1v = p1 * jnp.transpose(vsc, (0, 2, 1))[:, :, None, :]
         else:
             p1v = p1
-        pv_op = pv if pv.dtype == qg.dtype else pv.astype(qg.dtype)
-        o = (
-            jnp.einsum(
+        if attn8:
+            p_i8, p_sc = _quantize_rows(p1v)  # [B, KH, group, S] i8
+            o1 = jnp.einsum(
+                "bkgs,bskd->bkgd", p_i8, pv, preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * p_sc
+        else:
+            pv_op = pv if pv.dtype == qg.dtype else pv.astype(qg.dtype)
+            o1 = jnp.einsum(
                 "bkgs,bskd->bkgd", p1v.astype(qg.dtype), pv_op,
                 preferred_element_type=jnp.float32,
             )
+        o = (
+            o1
             + jnp.einsum(
                 "bkgs,bskd->bkgd", p2.astype(qg.dtype), gv.astype(qg.dtype),
                 preferred_element_type=jnp.float32,

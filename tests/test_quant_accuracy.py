@@ -112,3 +112,67 @@ class TestPromotedDefaults:
         # engaged => different rounding than dequant path, but close
         assert not np.array_equal(exact, forced)
         np.testing.assert_allclose(exact, forced, atol=0.2, rtol=0.1)
+
+
+class TestAttn8:
+    """Int8 MXU attention (q + softmax-weight quantization over the int8
+    cache): decode parity within quantization noise, same greedy tokens."""
+
+    def _decode(self, cfg, params, prompt_kv, prompt_lens, te, steps, attn8):
+        from revisionllm_tpu.models import llama as L
+
+        L.set_attn8(attn8)
+        try:
+            B = te.shape[0]
+            gen = {
+                "k": jnp.zeros((cfg.num_layers, B, steps, cfg.num_kv_heads,
+                                cfg.head_dim), jnp.float32),
+                "v": jnp.zeros((cfg.num_layers, B, steps, cfg.num_kv_heads,
+                                cfg.head_dim), jnp.float32),
+            }
+            outs = []
+            cur = te
+            for s in range(steps):
+                logits, gen = L.decode_step_split(
+                    cfg, params, prompt_kv, prompt_lens, gen, jnp.int32(s), cur
+                )
+                outs.append(np.asarray(logits))
+                nxt = jnp.argmax(logits, -1)
+                cur = L.embed_tokens(params, nxt[:, None]).astype(jnp.float32)
+            return outs
+        finally:
+            L.set_attn8(None)
+
+    def test_logit_and_token_parity(self):
+        from revisionllm_tpu.config import LlamaConfig
+        from revisionllm_tpu.models import llama as L
+        from revisionllm_tpu.ops.quant import quantize_llama_params
+
+        cfg = LlamaConfig(
+            vocab_size=256, hidden_size=128, intermediate_size=256,
+            num_layers=2, num_heads=4, num_kv_heads=4, head_dim=32,
+            max_position_embeddings=256, dtype="float32",
+        )
+        params = quantize_llama_params(
+            L.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+        )
+        B, S = 4, 24
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(5, cfg.vocab_size, (B, S)))
+        embeds = L.embed_tokens(params, ids).astype(jnp.float32)
+        pos = jnp.arange(S)[None, :].repeat(B, 0)
+        lens = jnp.asarray([S, S - 2, S - 5, S - 1], jnp.int32)
+        _, pkv = L.prefill_kv(cfg, params, embeds, pos, kv_lens=lens, kv_quant=True)
+        te = jnp.asarray(rng.normal(size=(B, 1, cfg.hidden_size)), jnp.float32)
+
+        ref = self._decode(cfg, params, pkv, lens, te, 3, attn8=False)
+        q8 = self._decode(cfg, params, pkv, lens, te, 3, attn8=True)
+        agree = np.mean([
+            (r.argmax(-1) == q.argmax(-1)).mean() for r, q in zip(ref, q8)
+        ])
+        assert agree >= 0.9, agree
+        rel = np.max([
+            np.max(np.abs(r - q)) / max(np.max(np.abs(r)), 1e-6)
+            for r, q in zip(ref, q8)
+        ])
+        assert rel < 0.05, rel
