@@ -125,11 +125,12 @@ def int8_matmul(
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            # v5e offers ~45 MB of usable VMEM (measured, BENCH_NOTES
-            # megakernel series); the 16 MB default limit rejects
-            # REVISIONLLM_Q8_BN >= 2048 blocks
+            # 16 MB measured BEST for this kernel (a 40 MB limit let the
+            # scheduler pick slower buffering: 2234 vs 2119 ms chunk-64
+            # latency); REVISIONLLM_Q8_VMEM overrides for experiments with
+            # REVISIONLLM_Q8_BN >= 2048 blocks (v5e has ~45 MB usable)
             vmem_limit_bytes=int(
-                __import__("os").environ.get("REVISIONLLM_Q8_VMEM", str(40 * 2**20))
+                __import__("os").environ.get("REVISIONLLM_Q8_VMEM", str(16 * 2**20))
             ),
         ),
         cost_estimate=pl.CostEstimate(
