@@ -55,9 +55,27 @@ class GroundingEngine:
         eval_cfg: EvalConfig,
         eos_id: int = 2,
         use_pallas: Optional[bool] = None,
+        mesh=None,
     ):
+        """`mesh` (jax.sharding.Mesh over (data, fsdp, tensor)) turns every
+        compiled program into one GSPMD program across the chips: weights
+        placed per parallel/sharding.py, the window batch split over the
+        (data, fsdp) axes — the multi-chip serving story of SURVEY §2.6
+        (replacing the reference's 16 independent SLURM jobs)."""
         self.llama_cfg = llama_cfg
         self.adapter_cfg = adapter_cfg
+        self.mesh = mesh
+        if mesh is not None:
+            from revisionllm_tpu.parallel import serve as serve_lib
+
+            params = serve_lib.shard_params_for_inference(mesh, params)
+            if vision_params is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rep = NamedSharding(mesh, P())
+                vision_params = jax.tree.map(
+                    lambda x: jax.device_put(x, rep), vision_params
+                )
         self.params = params
         self.vision_params = vision_params
         self.tokenizer = tokenizer
@@ -90,8 +108,22 @@ class GroundingEngine:
     def _get_program(self, key: Tuple, shared_prefix_len: int = 0) -> Any:
         if key not in self._compiled:
             cfg, acfg = self.llama_cfg, self.adapter_cfg
+            mesh = self.mesh
 
             def run(params, vision, plan, images, query_feats, query_valid):
+                if mesh is not None:
+                    from revisionllm_tpu.parallel.mesh import BATCH_AXES
+                    from revisionllm_tpu.parallel.serve import batch_sharding
+
+                    n_batch = 1
+                    for ax in BATCH_AXES:
+                        n_batch *= mesh.shape[ax]
+                    if images.shape[0] % n_batch == 0:
+                        images = jax.lax.with_sharding_constraint(
+                            images, batch_sharding(mesh)
+                        )
+                    # non-divisible batches (stage-2 zoom rows) still run:
+                    # weights stay sharded, the batch replicates
                 return revisionllm.generate_grounding(
                     cfg, acfg, params, vision, plan, images, query_feats,
                     query_valid, eos_id=self.eos_id,

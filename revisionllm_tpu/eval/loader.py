@@ -93,8 +93,17 @@ def build_engine_from_args(args) -> GroundingEngine:
 
     tokenizer = AutoTokenizer.from_pretrained(args.model_base, use_fast=True)
 
+    mesh = None
+    mesh_arg = getattr(args, "mesh", None)
+    if mesh_arg:
+        from revisionllm_tpu.parallel.mesh import create_mesh
+
+        dp, fsdp, tp = (int(x) for x in mesh_arg.split(","))
+        mesh = create_mesh(dp, fsdp, tp)
+
     return GroundingEngine(
         llama_cfg, adapter_cfg, params, vision, tokenizer,
         eval_cfg_from_args(args),
         eos_id=tokenizer.eos_token_id or 2,
+        mesh=mesh,
     )

@@ -60,6 +60,9 @@ def parse_args(argv=None):
     p.add_argument("--adapter_heads", type=int, default=8)
     p.add_argument("--adapter_layers", type=int, default=2)
     p.add_argument("--adapter_ffn", type=int, default=2048)
+    p.add_argument("--mesh", type=str, default=None,
+                   help="dp,fsdp,tp — run every program GSPMD-sharded over "
+                        "this chip mesh (e.g. 2,2,2 on a v5e-8)")
     p.add_argument("--max_new_tokens", type=int, default=32)
     p.add_argument("--baseline", type=str2bool, default=False)
     p.add_argument("--plus_baseline", type=str2bool, default=False)

@@ -56,6 +56,9 @@ def parse_args(argv=None):
     p.add_argument("--adapter_layers", type=int, default=2)
     p.add_argument("--adapter_ffn", type=int, default=2048)
     p.add_argument("--max_new_tokens", type=int, default=32)
+    p.add_argument("--mesh", type=str, default=None,
+                   help="dp,fsdp,tp — run every program GSPMD-sharded over "
+                        "this chip mesh (e.g. 2,2,2 on a v5e-8)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--debug", type=str2bool, default=False)
     return p.parse_args(argv)

@@ -235,3 +235,39 @@ class TestShardedQLora:
                 losses.append(float(metrics["loss"]))
         assert all(np.isfinite(l) for l in losses)
         assert losses[-1] < losses[0]
+
+
+class TestMeshServingEngine:
+    def test_engine_token_parity_on_mesh(self, tiny):
+        """GroundingEngine(mesh=...) must produce the SAME answers as the
+        unsharded engine — the multi-chip serving integration (SURVEY §2.6,
+        replacing the reference's 16 independent SLURM jobs)."""
+        from revisionllm_tpu.config import EvalConfig
+        from revisionllm_tpu.eval.engine import GroundingEngine
+        from revisionllm_tpu.utils.testing import FakeTokenizer
+
+        cfg, adapter_cfg, params, vision = tiny
+        import dataclasses
+
+        acfg = dataclasses.replace(
+            adapter_cfg, hierarchy=False, feature_mode="temporal"
+        )
+        ecfg = EvalConfig(
+            debug_window=20, num_frames=16, feature_fps=2.0, batch=8, stride=2,
+            max_new_tokens=4,
+        )
+        tok = FakeTokenizer()
+        for i in range(300):
+            tok._id(str(i))
+        feats = np.random.default_rng(3).normal(size=(200, 32)).astype(np.float32)
+
+        plain = GroundingEngine(cfg, acfg, params, vision, tok, ecfg)
+        ref = plain.ground_windows(feats, "a red car")
+
+        mesh = mesh_lib.create_mesh(2, 2, 2)
+        sharded = GroundingEngine(
+            cfg, acfg, params, vision, tok, ecfg, mesh=mesh
+        )
+        with mesh:
+            got = sharded.ground_windows(feats, "a red car")
+        assert got["answers"] == ref["answers"]
