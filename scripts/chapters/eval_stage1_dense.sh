@@ -11,5 +11,5 @@ python -m revisionllm_tpu.eval.stage1 \
     --q_feat_dir "${QFEATS:-data/chapters/text_features.rvfs}" \
     --log_path "${OUT_DIR:-checkpoints/chapters_stage1_dense}" \
     --debug_window 500 --num_frames 250 --feature_fps 2 \
-    --batch "${BATCH:-8}" --split "${SPLIT:-0}" --total_split "${TOTAL_SPLIT:-1}" \
+    --batch "${BATCH:-64}" --split "${SPLIT:-0}" --total_split "${TOTAL_SPLIT:-1}" \
     "$@"
