@@ -36,8 +36,17 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 REF_QPS_ESTIMATE = 0.0625  # single-A100 stage-1 dense estimate (see docstring)
 
+_T_START = time.time()
+
+
+def _phase(msg: str) -> None:
+    """Timestamped progress to stderr: a hung/timeout run leaves a diagnosis
+    of WHICH phase stalled (round-2 driver bench timed out with an empty log)."""
+    print(f"# [{time.time() - _T_START:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
 
 def main():
+    _phase("importing jax + revisionllm_tpu")
     import jax
     import jax.numpy as jnp
 
@@ -60,6 +69,7 @@ def main():
     max_new_tokens = int(os.environ.get("BENCH_NEW_TOKENS", "12"))
     prompt_extra = 60                # v1 system+question tokens around <video>
 
+    _phase(f"imports done; devices={jax.devices()!r}")
     cfg = LlamaConfig(num_layers=n_layers)
     adapter_cfg = AdapterConfig(
         clip_adapter_text=True, hierarchy=False, feature_mode="temporal",
@@ -89,6 +99,7 @@ def main():
         params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
     else:
         params = _zeros_params(cfg, dtype)
+    _phase(f"params built ({quant_kind}, {n_layers} layers)")
     vision = revisionllm.init_vision_params(
         adapter_cfg, jax.random.PRNGKey(1), dtype=dtype
     )
@@ -136,6 +147,7 @@ def main():
     if os.environ.get("BENCH_AOT", "1") == "1":
         from revisionllm_tpu.utils.aot_cache import load_or_compile
 
+        _phase("AOT cache: lowering + load-or-compile")
         t0 = time.time()
         fn = load_or_compile(
             run, params, vision, plan, images, query_feats,
@@ -144,9 +156,11 @@ def main():
     else:
         fn = jax.jit(run)
         t0 = time.time()
+    _phase("executable ready; first call (device warm-up)")
     toks, stats = fn(params, vision, plan, images, query_feats)
     np.asarray(toks)
     compile_s = time.time() - t0
+    _phase(f"first call done ({compile_s:.1f}s); timing {os.environ.get('BENCH_ITERS', '8')} iters")
 
     # warm + measure
     iters = int(os.environ.get("BENCH_ITERS", "8"))
@@ -162,6 +176,10 @@ def main():
 
     windows_per_sec = chunk / dt
     qps = windows_per_sec / windows_per_query
+    # p50 single-query latency: a 1-h movie is ceil(57/chunk) sequential
+    # chunks (north-star metric in BASELINE.json; one chunk at chunk>=57)
+    chunks_per_query = -(-windows_per_query // chunk)
+    p50_s = chunks_per_query * dt
     result = {
         "metric": "grounded_queries_per_sec_per_chip_stage1_dense_1h",
         "value": round(qps, 4),
@@ -170,7 +188,8 @@ def main():
     }
     print(
         f"# chunk={chunk} layers={n_layers} compile={compile_s:.1f}s "
-        f"chunk_latency={dt*1e3:.1f}ms windows/s={windows_per_sec:.2f}",
+        f"chunk_latency={dt*1e3:.1f}ms windows/s={windows_per_sec:.2f} "
+        f"p50_query_latency={p50_s:.2f}s",
         file=sys.stderr,
     )
     print(json.dumps(result))

@@ -7,9 +7,10 @@ at a target fps, and query text -> {token_features, cls_features} records —
 written to RVFS stores (the LMDB replacement) that the training/eval layers
 read.
 
-Host side: ffmpeg (subprocess) decodes raw frames when present — the image
-ships no video decoder, so decode is gated and unit tests feed arrays
-directly. Device side: batched jnp CLIP encoders (models/clip.py).
+Host side: `.y4m` videos decode through the in-repo pure-python reader
+(data/video_reader.py — no external binaries, exercised in CI); compressed
+containers (mp4/mkv) go through ffmpeg when present. Device side: batched
+jnp CLIP encoders (models/clip.py).
 """
 
 from __future__ import annotations
@@ -54,9 +55,18 @@ def decode_frames(
     """Decode at target_fps, scale shorter side to `size`, center-crop.
 
     Returns [T, size, size, 3] uint8 (parity: VideoLoader,
-    reference clip_extractor.py:100-176 — ffmpeg fps filter + center crop)."""
+    reference clip_extractor.py:100-176 — ffmpeg fps filter + center crop).
+    `.y4m` inputs always decode through the in-repo pure-python reader
+    (deterministic, no binaries); other containers need ffmpeg."""
+    if path.endswith(".y4m"):
+        from revisionllm_tpu.data.video_reader import decode_frames_py
+
+        return decode_frames_py(path, target_fps, size)
     if not ffmpeg_available():
-        raise RuntimeError("ffmpeg not available in this environment")
+        raise RuntimeError(
+            "ffmpeg not available and input is not .y4m; transcode to y4m "
+            "or install ffmpeg for compressed containers"
+        )
     vf = (
         f"fps={target_fps},scale='if(gt(iw,ih),-2,{size})':'if(gt(iw,ih),{size},-2)',"
         f"crop={size}:{size}"
@@ -142,13 +152,14 @@ def extract_video_features(
     video_paths: Dict[str, str],
     out_path: str,
     target_fps: float = 5.0,
+    size: int = 224,
 ) -> int:
     """Videos -> per-video feature tracks in one RVFS store (the per-movie
     frame features of reference chapters_clip_extractor.py:60-121)."""
     n = 0
     with RvfsWriter(out_path) as w:
         for key, path in video_paths.items():
-            frames = decode_frames(path, target_fps)
+            frames = decode_frames(path, target_fps, size)
             feats = extractor.encode_images(preprocess_frames(frames))
             w.add(key, {"features": feats.astype(np.float32)})
             n += 1

@@ -493,10 +493,13 @@ class GroundingEngine:
         # proposals, like ground_windows' scorer.
         score_cos: List[float] = []
         if query_cls is not None and answers:
-            num_videos_row = row_feats[0].shape[0] if row_feats else ecfg.batch
+            # per-pass row length: the reference clamps with the CURRENT
+            # pass's len(feat[0]), which differs across passes when
+            # eval batch is not divisible by a zoom factor (ADVICE r2)
+            num_videos_rows = [rf.shape[0] for rf in row_feats]
             chosen = M.stage2_chosen_windows(
                 answers, starts, indexes, hierarchy_zooms, call_in_zoom,
-                grounding_windows, num_videos_row,
+                grounding_windows, num_videos_rows,
             )
             to_score: List[np.ndarray] = []
             for p, ns in enumerate(chosen):

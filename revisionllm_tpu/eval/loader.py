@@ -15,6 +15,8 @@ from revisionllm_tpu.config import AdapterConfig, EvalConfig
 from revisionllm_tpu.eval.engine import GroundingEngine
 from revisionllm_tpu.models.convert import jnp_tree, load_pretrained
 
+from revisionllm_tpu.utils.backend import is_tpu_backend as _is_tpu_backend
+
 
 def adapter_cfg_from_args(args) -> AdapterConfig:
     hierarchy = bool(getattr(args, "hierarchy", False))
@@ -77,7 +79,7 @@ def build_engine_from_args(args) -> GroundingEngine:
 
     import jax
 
-    default_quant = "int8" if jax.default_backend() not in ("cpu", "gpu") else "none"
+    default_quant = "int8" if _is_tpu_backend() else "none"
     serving_quant = os.environ.get("REVISIONLLM_QUANT", default_quant)
     if serving_quant == "int8":
         from revisionllm_tpu.ops.quant import quantize_llama_params_host

@@ -141,7 +141,7 @@ def stage2_chosen_windows(
     hierarchy_zooms: Sequence[int],
     call_in_zoom: Sequence[int],
     grounding_windows: Sequence[int],
-    num_videos: int,
+    num_videos,
 ) -> List[Optional[List[int]]]:
     """Which window(s) of each stage-2 pass get CLIP-cosine scored.
 
@@ -157,7 +157,12 @@ def stage2_chosen_windows(
     feat[:, n] scored — range(max(0, gw-1), min(gw+1, num_videos-1)) after
     mapping the parsed index through zoom division, un-permutation, batch
     start offset, clamping, and the grounding-window pre-filter (:369-381).
+
+    num_videos may be a single int or a per-pass sequence: the reference
+    clamps with the CURRENT pass's len(feat[0]) (:377), which differs across
+    passes when eval batch is not divisible by a zoom factor (ADVICE r2).
     """
+    per_pass_nv = not isinstance(num_videos, int)
     chosen: List[Optional[List[int]]] = []
     for p, output in enumerate(outputs):
         m = SINGLE_RE.search(output)
@@ -174,7 +179,8 @@ def stage2_chosen_windows(
         from_number = grounding_windows[from_number]
         to_number = from_number
         from_number = max(0, from_number - 1)
-        to_number = min(to_number + 1, num_videos - 1)
+        nv = num_videos[p] if per_pass_nv else num_videos
+        to_number = min(to_number + 1, nv - 1)
         chosen.append(list(range(from_number, to_number)))
     return chosen
 

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 from revisionllm_tpu.config import LlamaConfig
 from revisionllm_tpu.models import llama
 
+from revisionllm_tpu.utils.backend import is_tpu_backend as _is_tpu_backend
+
 _KV8 = None
 
 
@@ -48,7 +50,7 @@ def _kv8_enabled() -> bool:
         else:
             import jax
 
-            _KV8 = jax.default_backend() not in ("cpu", "gpu")
+            _KV8 = _is_tpu_backend()
     return _KV8
 
 

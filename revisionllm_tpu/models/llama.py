@@ -37,6 +37,8 @@ from revisionllm_tpu.ops.norms import rms_norm
 from revisionllm_tpu.ops.quant import q8_apply
 from revisionllm_tpu.ops.rope import apply_rope, apply_rope_interleaved, rope_angles
 
+from revisionllm_tpu.utils.backend import is_tpu_backend as _is_tpu_backend
+
 Params = Dict[str, Any]
 
 LAYER_MATRICES = {
@@ -649,7 +651,7 @@ def prefill_shared_prefix(
     )
 
     if use_pallas is None:
-        use_pallas_resolved = jax.default_backend() not in ("cpu", "gpu")
+        use_pallas_resolved = _is_tpu_backend()
     else:
         use_pallas_resolved = use_pallas
 

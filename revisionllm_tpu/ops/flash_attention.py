@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from revisionllm_tpu.utils.backend import is_tpu_backend as _is_tpu_backend
+
 NEG_INF = -2.0e30
 
 
@@ -256,7 +258,7 @@ def attention(
 ) -> jnp.ndarray:
     """Backend dispatcher: Pallas kernel on TPU, jnp reference elsewhere."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu", "gpu")
+        use_pallas = _is_tpu_backend()
     if use_pallas:
         return flash_attention(q, k, v, causal=causal, kv_lens=kv_lens, sm_scale=sm_scale)
     return mha_reference(q, k, v, causal=causal, kv_lens=kv_lens, sm_scale=sm_scale)
@@ -627,7 +629,7 @@ def trainable_attention(
     """Differentiable dispatcher: custom-VJP Pallas kernels on TPU, jnp
     reference elsewhere. Requires T == S (training/prefill shapes)."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu", "gpu")
+        use_pallas = _is_tpu_backend()
     if not use_pallas:
         return mha_reference(q, k, v, causal=causal, kv_lens=kv_lens, sm_scale=sm_scale)
     key = (causal, sm_scale)
@@ -753,7 +755,7 @@ def attention_lse(
     q, k, v, *, causal=True, kv_lens=None, sm_scale=None, use_pallas=None
 ):
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu", "gpu")
+        use_pallas = _is_tpu_backend()
     if use_pallas:
         return flash_attention_lse(q, k, v, causal=causal, kv_lens=kv_lens, sm_scale=sm_scale)
     return mha_reference_lse(q, k, v, causal=causal, kv_lens=kv_lens, sm_scale=sm_scale)

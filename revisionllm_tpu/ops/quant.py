@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from revisionllm_tpu.utils.backend import is_tpu_backend as _is_tpu_backend
+
 
 def quantize_int8(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """w: [..., K, N] -> (int8 values [..., K, N], fp32 scales [..., N]).
@@ -145,11 +147,7 @@ def int8_matmul(
     return out.reshape(*orig_shape[:-1], N)
 
 
-def w8a8_matmul(x: jnp.ndarray, w_q8: jnp.ndarray, w_scale: jnp.ndarray) -> jnp.ndarray:
-    """Dynamic-activation int8 matmul: per-row absmax quantize x, int8 x int8
-    MXU dot (2x bf16 throughput on v5e), rescale. Opt-in for the
-    compute-bound prefill (REVISIONLLM_W8A8=1); ~0.3% relative error typical.
-    XLA lowers the int8 dot natively — no extra Pallas kernel."""
+def _w8a8_impl(x: jnp.ndarray, w_q8: jnp.ndarray, w_scale: jnp.ndarray) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     x_scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
@@ -159,6 +157,37 @@ def w8a8_matmul(x: jnp.ndarray, w_q8: jnp.ndarray, w_scale: jnp.ndarray) -> jnp.
         preferred_element_type=jnp.int32,
     )
     return (acc.astype(jnp.float32) * x_scale * w_scale).astype(x.dtype)
+
+
+def w8a8_matmul(x: jnp.ndarray, w_q8: jnp.ndarray, w_scale: jnp.ndarray) -> jnp.ndarray:
+    """Dynamic-activation int8 matmul: per-row absmax quantize x, int8 x int8
+    MXU dot (2x bf16 throughput on v5e), rescale. Default for the
+    compute-bound prefill on TPU (REVISIONLLM_W8A8=0 opts out); ~0.3%
+    relative error typical. XLA lowers the int8 dot natively.
+
+    Straight-through gradient: round() in the activation quantization has a
+    zero derivative, so naive jax.grad through this path would zero the
+    activation gradient to every earlier layer. The custom VJP backpropagates
+    g @ W_dequant^T as if the matmul were exact, so training over a quantized
+    base stays correct even without the trainer's dequant-at-trace guard."""
+
+    @jax.custom_vjp
+    def inner(x):
+        return _w8a8_impl(x, w_q8, w_scale)
+
+    def fwd(x):
+        return inner(x), None
+
+    def bwd(_, g):
+        # g has the output dtype == x dtype; keep it for the cotangent
+        w = dequantize_int8(w_q8, w_scale, jnp.float32)
+        gx = jax.lax.dot_general(
+            g.astype(jnp.float32), w, (((g.ndim - 1,), (1,)), ((), ())),
+        )
+        return (gx.astype(g.dtype),)
+
+    inner.defvjp(fwd, bwd)
+    return inner(x)
 
 
 _W8A8_PREFILL = None
@@ -185,7 +214,7 @@ def _w8a8_enabled() -> bool:
         if env is not None:
             _W8A8_PREFILL = env == "1"
         else:
-            _W8A8_PREFILL = jax.default_backend() not in ("cpu", "gpu")
+            _W8A8_PREFILL = _is_tpu_backend()
     return _W8A8_PREFILL
 
 
@@ -199,19 +228,27 @@ def q8_apply(
     converts in VMEM. Large-M (prefill/training) calls are MXU-bound — the
     XLA convert+dot path is equally fast there and avoids extra Mosaic kernel
     compiles (remote compile costs ~minutes per kernel shape on axon).
-    On non-TPU backends (tests) the int8 path always dequantizes via jnp."""
+    On non-TPU backends (tests) the int8 path always dequantizes via jnp.
+
+    An EXPLICIT use_pallas=False is an exact-path request: it disables both
+    the Pallas kernel and the lossy W8A8 large-M path (ADVICE r2) — callers
+    wanting exact dequant numerics get them regardless of backend defaults.
+    use_pallas=None (the default) resolves per backend and lets W8A8 engage
+    wherever _w8a8_enabled() says so (incl. the CPU validation harness via
+    set_w8a8(True))."""
     if isinstance(w, dict) and "q4" in w:
         return q4_apply(x, w, use_pallas=use_pallas)
     if not (isinstance(w, dict) and "q8" in w):
         return x @ w
+    explicit_exact = use_pallas is False
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu", "gpu")
+        use_pallas = _is_tpu_backend()
     M = 1
     for d in x.shape[:-1]:
         M *= d
     if use_pallas and M <= pallas_max_m:
         return int8_matmul(x, w["q8"], w["scale"])
-    if _w8a8_enabled() and (use_pallas or M > pallas_max_m):
+    if _w8a8_enabled() and not explicit_exact and M > pallas_max_m:
         # large-M int8-activation path; engages off-TPU only when explicitly
         # enabled (backend-conditional default in _w8a8_enabled)
         return w8a8_matmul(x, w["q8"], w["scale"])
@@ -415,7 +452,7 @@ def q4_apply(
     is MXU-bound — XLA dequant+dot avoids the unpack-per-k-block overhead,
     mirroring the int8 dispatch above."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu", "gpu")
+        use_pallas = _is_tpu_backend()
     M = 1
     for d in x.shape[:-1]:
         M *= d

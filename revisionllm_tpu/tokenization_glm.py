@@ -10,6 +10,11 @@ Interface consumed by the pipeline (data/preprocess.py::preprocess_glm and
 tokenization.tokenizer_image_token): `get_command(name)`, `eos_token_id`,
 `__call__(text).input_ids` (with the [gMASK] sop prefix the reference's
 build_inputs_with_special_tokens adds, :233-237), `decode(ids)`.
+
+Known divergence from real sentencepiece: the underlying runtime applies
+remove_extra_whitespaces + add_dummy_prefix but an IDENTITY NFKC table, so
+exotic Unicode (full-width forms, compatibility ligatures) may tokenize
+differently from the reference tokenizer (utils/spm.py docstring).
 """
 
 from __future__ import annotations
@@ -68,9 +73,11 @@ class ChatGLMTokenizer:
         preprocess_glm drops the 2 prefix tokens per chunk (dataset.py:139)."""
         return _Encoding(self.get_prefix_tokens() + self.sp.encode(text))
 
-    def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
+    def decode(self, ids: Sequence[int], skip_special_tokens: bool = False) -> str:
         """Special ids render as their token text (reference SPTokenizer.decode
-        :58-70); sp control ids are dropped by the sp decoder."""
+        :58-70 always renders '<|user|>' etc., so that is the default here —
+        ADVICE r2); sp control ids are dropped by the sp decoder. Pass
+        skip_special_tokens=True to strip them instead."""
         text, buffer = "", []
         for t in ids:
             t = int(t)

@@ -17,9 +17,12 @@ uses, from scratch:
 - Decoding: pieces joined, U+2581 (▁) to space, byte pieces re-assembled.
 
 Normalization implements the ChatGLM2/Llama NormalizerSpec surface:
-`add_dummy_prefix` + space-to-▁ replacement (identity NFKC table; exotic
-Unicode normalization is out of scope and irrelevant to the ASCII grounding
-prompts).
+`remove_extra_whitespaces` (collapse space runs, strip ends) +
+`add_dummy_prefix` + space-to-▁ replacement. The NFKC normalizer table is
+NOT applied (identity): exotic Unicode (full-width forms, compatibility
+ligatures) tokenizes differently from real sentencepiece — out of scope for
+the ASCII grounding prompts; divergence also documented on
+ChatGLMTokenizer.
 """
 
 from __future__ import annotations
@@ -173,6 +176,12 @@ class SentencePieceModel:
         return self.pieces[i][0]
 
     def _normalize(self, text: str) -> str:
+        # remove_extra_whitespaces (NormalizerSpec default, ON for the
+        # ChatGLM2/Llama models): strip leading/trailing spaces, collapse
+        # internal runs — multi-space text then tokenizes like sentencepiece
+        while "  " in text:
+            text = text.replace("  ", " ")
+        text = text.strip(" ")
         text = text.replace(" ", SPACE)
         if not text.startswith(SPACE):
             text = SPACE + text  # add_dummy_prefix

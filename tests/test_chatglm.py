@@ -163,6 +163,7 @@ class TestGlmPreprocess:
 
 
 class TestGlmGenerate:
+    @pytest.mark.slow
     def test_generate_matches_stepwise(self):
         """The split-KV decode loop must stay exact under MQA (2 kv heads),
         partial interleaved rotary, and qkv bias."""

@@ -91,6 +91,7 @@ def run_fused(cfg, qparams, prompt_kv, prompt_lens, tok_embeds, G, steps):
 
 
 class TestFusedDecodeParity:
+    @pytest.mark.slow
     def test_multi_step_logit_parity(self, setup):
         cfg, qparams, prompt_kv, prompt_lens, B = setup
         rng = np.random.default_rng(2)

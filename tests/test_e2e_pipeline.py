@@ -107,6 +107,7 @@ class TestStage1E2E:
 
 
 class TestStage2E2E:
+    @pytest.mark.slow
     def test_run_and_fuse(self, eval_data, tmp_path):
         # hierarchy engine: CLS adapter
         cfg = LlamaConfig.tiny()

@@ -157,6 +157,7 @@ class TestPrefixedKernel:
         got = flash_attention_prefixed(q, k, v, pk, pv, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
 
+    @pytest.mark.slow
     def test_ragged_kv_lens(self):
         from revisionllm_tpu.ops.flash_attention import (
             flash_attention_prefixed,

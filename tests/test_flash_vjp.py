@@ -22,6 +22,7 @@ class TestFlashVjp:
         ref = mha_reference(q, k, v, causal=causal)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("causal", [True, False])
     def test_grads_match_reference(self, causal):
         q, k, v = (rand((1, 128, 2, 128), s) for s in (3, 4, 5))
@@ -41,6 +42,7 @@ class TestFlashVjp:
                 err_msg=f"d{name} mismatch",
             )
 
+    @pytest.mark.slow
     def test_grads_with_kv_lens(self):
         q, k, v = (rand((2, 128, 2, 128), s) for s in (6, 7, 8))
         lens = jnp.array([100, 128], jnp.int32)
@@ -59,6 +61,7 @@ class TestFlashVjp:
         # grads wrt padded kv rows of row 0 must be zero
         np.testing.assert_allclose(np.asarray(g_flash[1][0, 100:]), 0.0, atol=1e-6)
 
+    @pytest.mark.slow
     def test_gqa_grads(self):
         q = rand((1, 128, 4, 128), 9)
         k, v = rand((1, 128, 2, 128), 10), rand((1, 128, 2, 128), 11)
@@ -71,6 +74,7 @@ class TestFlashVjp:
             assert gf.shape == gr.shape
             np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=5e-3, atol=5e-3)
 
+    @pytest.mark.slow
     def test_unaligned_seq(self):
         q, k, v = (rand((1, 200, 2, 128), s) for s in (12, 13, 14))
         f = make_flash_mha(causal=True, interpret=True)

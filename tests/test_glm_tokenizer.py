@@ -78,13 +78,24 @@ class TestChatGLMTokenizer:
         tok = ChatGLMTokenizer(model_file)
         ids = tok("the dog").input_ids
         assert ids[:2] == tok.get_prefix_tokens()
-        assert tok.decode(ids) == "the dog"
+        assert tok.decode(ids, skip_special_tokens=True) == "the dog"
+        assert tok.decode(ids).endswith("the dog")  # prefix renders by default
 
-    def test_decode_renders_specials_opt_in(self, model_file):
+    def test_extra_whitespace_collapsed(self, model_file):
+        """remove_extra_whitespaces: multi-space / padded text tokenizes like
+        its single-spaced form (sentencepiece NormalizerSpec default)."""
+        tok = ChatGLMTokenizer(model_file)
+        base = tok.sp.encode("the dog")
+        assert tok.sp.encode("the   dog") == base
+        assert tok.sp.encode("  the dog  ") == base
+
+    def test_decode_renders_specials_by_default(self, model_file):
+        """Reference SPTokenizer.decode always renders special-token text;
+        stripping is the opt-in (ADVICE r2)."""
         tok = ChatGLMTokenizer(model_file)
         ids = [tok.get_command("<|user|>")] + tok.sp.encode("jump")
-        assert tok.decode(ids, skip_special_tokens=False) == "<|user|>jump"
-        assert tok.decode(ids) == "jump"
+        assert tok.decode(ids) == "<|user|>jump"
+        assert tok.decode(ids, skip_special_tokens=True) == "jump"
 
 
 class TestGlmEndToEnd:

@@ -126,6 +126,7 @@ class TestGeneration:
             assert valid[: i + 1].all()
             assert not valid[i + 1 :].any() or i == G - 1
 
+    @pytest.mark.slow
     def test_full_pipeline_hierarchy(self, tiny_model):
         """Windows -> adapter CLS -> splice -> decode, shapes end to end."""
         cfg, adapter_cfg, params, vision = tiny_model

@@ -84,6 +84,7 @@ class TestMesh:
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_sharded_step_runs_and_decreases_loss(self, tiny):
         cfg, adapter_cfg, params, vision = tiny
         # the sharded step DONATES its trainable; keep the module-scoped
@@ -196,6 +197,7 @@ class TestShardedServing:
 
 
 class TestShardedQLora:
+    @pytest.mark.slow
     def test_sharded_step_with_int8_base(self, tiny):
         """The (data, fsdp, tensor)-sharded train step with an int8-quantized
         frozen base: quantized-leaf PartitionSpecs + the forced-dequant loss

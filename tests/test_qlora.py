@@ -53,6 +53,7 @@ def setup():
 
 
 class TestQLora:
+    @pytest.mark.slow
     def test_grads_flow_every_layer(self, setup):
         cfg, acfg, tcfg, base, qbase, vision, batch = setup
         trainable, frozen, _ = trainer_lib.build_trainable(
@@ -91,6 +92,7 @@ class TestQLora:
         lq = float(loss_fn(trainable, frozen, qbase, batch, jax.random.PRNGKey(3)))
         assert abs(lf - lq) / max(abs(lf), 1e-6) < 0.05
 
+    @pytest.mark.slow
     def test_training_reduces_loss(self, setup):
         cfg, acfg, tcfg, base, qbase, vision, batch = setup
         trainable, frozen, _ = trainer_lib.build_trainable(

@@ -151,6 +151,49 @@ class TestW8A8:
         out = np.asarray(w8a8_matmul(x, q, s))
         np.testing.assert_allclose(out, 0.0)
 
+    def test_straight_through_gradient(self):
+        """jax.grad through w8a8_matmul must NOT be killed by round()'s zero
+        derivative (ADVICE r2): the custom VJP backprops g @ W_dequant^T."""
+        from revisionllm_tpu.ops.quant import dequantize_int8, w8a8_matmul
+
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.normal(size=(4, 64)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+        q, s = quantize_int8(w)
+
+        g = jax.grad(lambda x: jnp.sum(w8a8_matmul(x, q, s) ** 2))(x)
+        assert float(jnp.abs(g).max()) > 0.0
+        # matches the exact-dequant gradient (same residual up to quant noise)
+        wd = dequantize_int8(q, s, jnp.float32)
+        g_exact = jax.grad(lambda x: jnp.sum((x @ wd) ** 2))(x)
+        rel = np.abs(np.asarray(g) - np.asarray(g_exact)) / (
+            np.abs(np.asarray(g_exact)) + 1.0
+        )
+        assert rel.mean() < 0.05
+
+    def test_explicit_exact_path_bypasses_w8a8(self):
+        """q8_apply(use_pallas=False) is an exact-path request even when the
+        W8A8 default is forced on (ADVICE r2 medium)."""
+        from revisionllm_tpu.ops.quant import (
+            dequantize_int8, q8_apply, set_w8a8,
+        )
+
+        rng = np.random.default_rng(9)
+        # M=512 > pallas_max_m so the large-M branch is in play
+        x = jnp.asarray(rng.normal(size=(512, 64)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+        q, s = quantize_int8(w)
+        wd = {"q8": q, "scale": s}
+        set_w8a8(True)
+        try:
+            lossy = np.asarray(q8_apply(x, wd))
+            exact = np.asarray(q8_apply(x, wd, use_pallas=False))
+        finally:
+            set_w8a8(None)
+        want = np.asarray(x @ dequantize_int8(q, s, jnp.float32))
+        np.testing.assert_allclose(exact, want, rtol=1e-5, atol=1e-5)
+        assert np.abs(lossy - want).max() > 0  # W8A8 did engage by default
+
 
 class TestInt4:
     def test_pack_unpack_roundtrip(self):

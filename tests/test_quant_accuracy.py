@@ -27,6 +27,7 @@ class TestW8A8Argmax:
 
 
 class TestKv8Argmax:
+    @pytest.mark.slow
     def test_greedy_agreement(self):
         cfg = LlamaConfig(**{**LlamaConfig.tiny().__dict__, "dtype": "float32"})
         params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
@@ -143,6 +144,7 @@ class TestAttn8:
         finally:
             L.set_attn8(None)
 
+    @pytest.mark.slow
     def test_logit_and_token_parity(self):
         from revisionllm_tpu.config import LlamaConfig
         from revisionllm_tpu.models import llama as L

@@ -144,6 +144,7 @@ def mad_data(tmp_path_factory):
 
 
 class TestRunbookEndToEnd:
+    @pytest.mark.slow
     def test_full_chain(self, hf_dir, artifacts, mad_data, tmp_path):
         import run_mad_eval
 

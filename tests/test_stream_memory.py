@@ -61,6 +61,7 @@ class TestVisualMemory:
 
 
 class TestStreamLoss:
+    @pytest.mark.slow
     def test_stream_step_runs(self):
         cfg = LlamaConfig.tiny()
         cfg = cfg.__class__(**{**cfg.__dict__, "dtype": "float32"})

@@ -40,6 +40,7 @@ def _run_cli(args_list, monkeypatch):
 
 
 class TestTrainCli:
+    @pytest.mark.slow
     def test_smoke_and_artifacts(self, train_data, tmp_path, monkeypatch):
         out_dir = str(tmp_path / "out")
         from revisionllm_tpu.train import train_cli
@@ -78,6 +79,7 @@ class TestTrainCli:
             logs = [json.loads(l) for l in f]
         assert logs[-1]["step"] == 3
 
+    @pytest.mark.slow
     def test_stream_mode(self, train_data, tmp_path):
         from revisionllm_tpu.train import train_cli
 
