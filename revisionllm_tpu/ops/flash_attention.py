@@ -246,6 +246,26 @@ def mha_reference(
     return out.astype(q.dtype)
 
 
+_FLASH_MIN_SEQ = None
+
+
+def _flash_min_seq() -> int:
+    """Sequence-length threshold below which the XLA einsum path beats the
+    Pallas flash kernel on TPU. Measured (round-3 prefill decomposition,
+    chunk-64 serving shapes B=64 H=32 T=S=318): flash 468 ms / 32 layers vs
+    XLA einsum 186 ms — the (B, H, iq, ik) grid is 18k cells/layer and the
+    ~0.9 us fixed per-cell cost swamps the 0.5 ms of real compute. Flash wins
+    again once T is large enough that the materialized [B, H, T, S] score
+    tensor dominates (training at seq 2048+). REVISIONLLM_FLASH_MIN_SEQ
+    overrides (0 = always flash)."""
+    global _FLASH_MIN_SEQ
+    if _FLASH_MIN_SEQ is None:
+        import os
+
+        _FLASH_MIN_SEQ = int(os.environ.get("REVISIONLLM_FLASH_MIN_SEQ", "512"))
+    return _FLASH_MIN_SEQ
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -256,10 +276,12 @@ def attention(
     sm_scale: Optional[float] = None,
     use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Backend dispatcher: Pallas kernel on TPU, jnp reference elsewhere."""
+    """Backend dispatcher: Pallas kernel on TPU for long sequences, XLA einsum
+    for short ones (where per-grid-cell overhead beats materializing scores —
+    see _flash_min_seq) and on non-TPU backends."""
     if use_pallas is None:
         use_pallas = _is_tpu_backend()
-    if use_pallas:
+    if use_pallas and max(q.shape[1], k.shape[1]) >= _flash_min_seq():
         return flash_attention(q, k, v, causal=causal, kv_lens=kv_lens, sm_scale=sm_scale)
     return mha_reference(q, k, v, causal=causal, kv_lens=kv_lens, sm_scale=sm_scale)
 

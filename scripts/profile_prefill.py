@@ -186,24 +186,29 @@ def main(argv=None):
 
     results = {}
     for variant in args.variants.split(","):
-        if variant == "w8a16":
-            set_w8a8(False)
-            fn = make_variant("full")
-        else:
-            set_w8a8(None)
-            fn = make_variant(variant)
-        t0 = time.time()
-        out = fn(params, vision, plan, images, query_feats)
-        np.asarray(out[0])
-        compile_s = time.time() - t0
-        np.asarray(fn(params, vision, plan, images, query_feats)[0])  # warm
-        t0 = time.time()
-        for _ in range(args.iters):
+        try:
+            if variant == "w8a16":
+                set_w8a8(False)
+                fn = make_variant("full")
+            else:
+                set_w8a8(None)
+                fn = make_variant(variant)
+            t0 = time.time()
             out = fn(params, vision, plan, images, query_feats)
-        np.asarray(out[0])
-        dt = (time.time() - t0) / args.iters * 1e3
-        results[variant] = dt
-        print(f"{variant:18s} compile={compile_s:6.1f}s total={dt:8.1f}ms", flush=True)
+            np.asarray(out[0])
+            compile_s = time.time() - t0
+            np.asarray(fn(params, vision, plan, images, query_feats)[0])  # warm
+            t0 = time.time()
+            for _ in range(args.iters):
+                out = fn(params, vision, plan, images, query_feats)
+            np.asarray(out[0])
+            dt = (time.time() - t0) / args.iters * 1e3
+            results[variant] = dt
+            print(f"{variant:18s} compile={compile_s:6.1f}s total={dt:8.1f}ms",
+                  flush=True)
+        except Exception as e:  # e.g. bf16-KV OOM at chunk 64 (no_kvq)
+            print(f"{variant:18s} FAILED: {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
     set_w8a8(None)
 
     print("\nsummary (ms):", {k: round(v, 1) for k, v in results.items()})

@@ -74,6 +74,60 @@ def heavy_tailed_params(cfg, key, dtype, outlier_frac=0.003, outlier_scale=30.0)
     return jax.tree.map(lambda x: x.astype(dtype), params)
 
 
+def converted_geometry_params(cfg, key, dtype, outlier_frac=0.003,
+                              outlier_scale=30.0):
+    """Llama params with converted-checkpoint STATISTICS at full depth — the
+    32-layer validation geometry (VERDICT r2 #7): random-normal trees miss
+    the structures that make quantization error accumulate with depth in
+    real converted 7B weights. Reproduced here:
+
+    - per-channel weight scales are LOG-NORMAL (sigma 0.4), shared across
+      layers for the residual-stream dims (persistent feature channels),
+      on top of the outlier channel set of heavy_tailed_params;
+    - RMSNorm gains are log-normal with spread GROWING with depth (real
+      Llama norm gains reach 5-20x on some channels in late layers) — this
+      amplifies per-layer activation magnitude exactly where W8A8 quantizes
+      (post-norm), so per-step error compounds through all 32 layers;
+    - down_proj entries are Student-t (df=4): the heavy-tailed matrix family
+      of converted checkpoints (worst per-channel absmax case);
+    - residual-stream magnitude grows with depth via the norm-gain profile
+      (the "massive activations" phenomenon).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from revisionllm_tpu.models import llama
+
+    params = heavy_tailed_params(cfg, key, jnp.float32, outlier_frac,
+                                 outlier_scale)
+    D, L = cfg.hidden_size, cfg.num_layers
+    ks = jax.random.split(jax.random.fold_in(key, 11), 6)
+
+    # persistent per-channel scale on the residual dims
+    chan_ln = jnp.exp(0.4 * jax.random.normal(ks[0], (D,)))
+    layers = dict(params["layers"])
+    for name in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
+        layers[name] = layers[name] * chan_ln[None, :, None]
+
+    # depth-growing norm-gain spread: sigma 0.1 (layer 0) -> 0.6 (last)
+    depth = jnp.linspace(0.1, 0.6, L)[:, None]
+    layers["attn_norm"] = jnp.exp(depth * jax.random.normal(ks[1], (L, D)))
+    layers["mlp_norm"] = jnp.exp(depth * jax.random.normal(ks[2], (L, D)))
+
+    # heavy-tailed down_proj (student-t df=4 via z/sqrt(chi2/4) — jax.random.t
+    # is gamma-rejection-based and unusably slow on CPU at 90M elements)
+    shape = layers["down_proj"].shape
+    z = jax.random.normal(ks[3], shape)
+    chi2 = sum(
+        jax.random.normal(jax.random.fold_in(ks[4], i), shape) ** 2
+        for i in range(4)
+    )
+    t = z / jnp.sqrt(jnp.maximum(chi2, 1e-3) / 4.0)
+    layers["down_proj"] = t * (cfg.intermediate_size ** -0.5) * 0.7
+    params["layers"] = layers
+    return jax.tree.map(lambda x: x.astype(dtype), params)
+
+
 def run_decode(cfg, params, token_ids, steps, *, kv_quant, forced_tokens=None):
     """Prefill + `steps` decode steps; returns per-step logits [steps, B, V].
 
@@ -169,6 +223,10 @@ def main(argv: Optional[List[str]] = None):
                     help="int8: use W8A16 as baseline (for 32-layer on-chip "
                          "runs where bf16 7B does not fit)")
     ap.add_argument("--outlier_scale", type=float, default=30.0)
+    ap.add_argument("--stats", choices=["outlier", "converted"], default="outlier",
+                    help="converted: full-depth converted-checkpoint weight "
+                         "statistics (log-normal channels, depth-growing norm "
+                         "gains, student-t down_proj)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -183,8 +241,12 @@ def main(argv: Optional[List[str]] = None):
     key = jax.random.PRNGKey(args.seed)
     dtype = jnp.dtype(cfg.dtype)
 
-    params_bf16 = heavy_tailed_params(cfg, key, dtype,
-                                      outlier_scale=args.outlier_scale)
+    make_params = (
+        converted_geometry_params if args.stats == "converted"
+        else heavy_tailed_params
+    )
+    params_bf16 = make_params(cfg, key, dtype,
+                              outlier_scale=args.outlier_scale)
     params_q8 = quant.quantize_llama_params(params_bf16)
     if args.golden == "int8":
         del params_bf16
@@ -231,6 +293,7 @@ def main(argv: Optional[List[str]] = None):
             "ffn": cfg.intermediate_size, "vocab": cfg.vocab_size,
             "batch": args.batch, "prompt_len": args.prompt_len,
             "steps": args.steps, "outlier_scale": args.outlier_scale,
+            "stats": args.stats,
         },
         "golden": args.golden,
         "sampling_flip_rate_temp0.05": sampling_flip_rate(golden),
