@@ -60,13 +60,22 @@ def main(argv=None):
         lambda k: quantize_llama_params(llama.init_params(cfg, k, dtype)),
         jax.random.PRNGKey(0),
     )
+    serve_only = args.variants == "serve"
+    if serve_only:
+        # the serve kernel reads layer weights from its packed copy only;
+        # skip the 6.6 GB standard layer tree (packed + slab + standard
+        # would exceed 16 GB)
+        shapes = dict(shapes)
+        shapes["layers"] = {
+            k: v for k, v in shapes["layers"].items() if k.endswith("_norm")
+        }
     params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
     kv8 = bool(args.kv8)
     L = cfg.num_layers
     fused_only = args.variants == "fused"
-    if fused_only:
-        prompt_kv = None  # the fused variant builds its packed layout directly
+    if fused_only or serve_only:
+        prompt_kv = None  # these variants build their packed layout directly
     elif kv8:
         prompt_kv = {
             "k": jnp.zeros((L, B, S, KH, hd), jnp.int8),
@@ -134,6 +143,75 @@ def main(argv=None):
 
         fn = jax.jit(run)
         return lambda p, pk, g0, t0: fn(p, pkv_packed, genkv0, t0)
+
+    def make_serve():
+        """The ops/decode_serve.py serving-layout kernel (contiguous weight
+        chunks + unified KV slab + nb-row batched attention) in the same
+        12-step harness. SERVE_NB/SERVE_BN/SERVE_BF tune it."""
+        import os as _os
+
+        from revisionllm_tpu.ops import decode_serve as DSV
+        from revisionllm_tpu.ops.rope import rope_angles as RA
+
+        BN = int(_os.environ.get("SERVE_BN", "1024"))
+        BF = int(_os.environ.get("SERVE_BF", "1024"))
+        nb = int(_os.environ.get("SERVE_NB", "4"))
+        import math as _math
+
+        fpad = _math.lcm(BN, BF)
+        Fp = ((cfg.intermediate_size + fpad - 1) // fpad) * fpad
+        # packed zeros built directly in the chunk layout (a 7B standard
+        # tree + packed copy would not coexist in 16 GB)
+        packed = {}
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            packed[name] = {
+                "q8c": jnp.zeros((L, D // BN, D, BN), jnp.int8),
+                "scale": jnp.ones((L, D), jnp.float32),
+            }
+        for name in ("gate_proj", "up_proj"):
+            packed[name] = {
+                "q8c": jnp.zeros((L, Fp // BN, D, BN), jnp.int8),
+                "scale": jnp.ones((L, Fp), jnp.float32),
+            }
+        packed["down_proj"] = {
+            "q8r": jnp.zeros((L, Fp // BF, BF, D), jnp.int8),
+            "scale": jnp.ones((L, D), jnp.float32),
+        }
+        packed["attn_norm"] = params["layers"]["attn_norm"]
+        packed["mlp_norm"] = params["layers"]["mlp_norm"]
+        Sp = ((S + G + 127) // 128) * 128
+        slab0 = {
+            "kv": jnp.zeros((L, B, 2, KH, Sp, hd), jnp.int8),
+            "kvsc": jnp.ones((L, B, 2, KH, Sp), jnp.float32),
+        }
+
+        def run(params, slab0, tok0):
+            def sstep(carry, g):
+                slab, te = carry
+                pos = (prompt_lens + g)[:, None]
+                cos, sin = RA(pos, hd, cfg.rope_theta)
+                hidden, slab = DSV.decode_step_serve(
+                    packed, slab, prompt_lens, g,
+                    te[:, 0, :], cos[:, 0], sin[:, 0],
+                    s0=S, eps=cfg.rms_norm_eps, nb=nb,
+                    interpret=_os.environ.get("SERVE_INTERPRET", "0") == "1",
+                )
+                h = rms_norm(hidden[:, None, :], params["final_norm"], cfg.rms_norm_eps)
+                logits = q8_apply(h[:, 0], params["lm_head"]).astype(jnp.float32)
+                nxt = jnp.argmax(logits, -1)
+                te = llama.embed_tokens(params, nxt[:, None]).astype(dtype)
+                return (slab, te), logits
+
+            (_, _), ls = jax.lax.scan(
+                sstep, (slab0, tok0), jnp.arange(G, dtype=jnp.int32)
+            )
+            return ls
+
+        # no donation: the timing loop reuses slab0 across calls (the scan
+        # carry gives XLA one 3.2 GB copy per call, ~0.3 ms/step amortized;
+        # the engine integration donates instead)
+        fn = jax.jit(run)
+        return lambda p, pk, g0, t0: fn(p, slab0, t0)
 
     def make_step(variant):
         """One decode step mirroring llama.decode_step_split with ablations."""
@@ -240,7 +318,12 @@ def main(argv=None):
 
     results = {}
     for variant in args.variants.split(","):
-        fn = make_fused() if variant == "fused" else make_step(variant)
+        if variant == "fused":
+            fn = make_fused()
+        elif variant == "serve":
+            fn = make_serve()
+        else:
+            fn = make_step(variant)
         t0 = time.time()
         out = np.asarray(fn(params, prompt_kv, gen0, tok0))
         compile_s = time.time() - t0

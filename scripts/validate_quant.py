@@ -245,11 +245,34 @@ def main(argv: Optional[List[str]] = None):
         converted_geometry_params if args.stats == "converted"
         else heavy_tailed_params
     )
-    params_bf16 = make_params(cfg, key, dtype,
-                              outlier_scale=args.outlier_scale)
-    params_q8 = quant.quantize_llama_params(params_bf16)
     if args.golden == "int8":
-        del params_bf16
+        # At 32 layers the bf16 tree (13.4 GB), its creation intermediates,
+        # and the int8 tree cannot coexist in 16 GB HBM: build + quantize on
+        # the host CPU platform (requires JAX_PLATFORMS=axon,cpu — the
+        # launcher below re-execs with it when absent) and transfer int8
+        # only (the round-2 eval-loader pattern).
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            import os as _os
+            import sys as _sys
+
+            _os.environ["JAX_PLATFORMS"] = (
+                _os.environ.get("JAX_PLATFORMS", "") or "axon"
+            ) + ",cpu"
+            _os.execv(_sys.executable, [_sys.executable] + _sys.argv)
+        with jax.default_device(cpu):
+            key_cpu = jax.random.PRNGKey(args.seed)  # host-placed key
+            host = make_params(cfg, key_cpu, dtype,
+                               outlier_scale=args.outlier_scale)
+            params_q8 = quant.quantize_llama_params(host)
+        del host
+        params_q8 = jax.device_put(params_q8, jax.devices()[0])
+        params_bf16 = None
+    else:
+        params_bf16 = make_params(cfg, key, dtype,
+                                  outlier_scale=args.outlier_scale)
+        params_q8 = quant.quantize_llama_params(params_bf16)
 
     rng = np.random.default_rng(args.seed)
     token_ids = jnp.asarray(
