@@ -238,6 +238,8 @@ def q8_apply(
     set_w8a8(True))."""
     if isinstance(w, dict) and "q4" in w:
         return q4_apply(x, w, use_pallas=use_pallas)
+    if isinstance(w, dict) and ("q8c" in w or "q8r" in w):
+        return q8c_apply(x, w, use_pallas=use_pallas, pallas_max_m=pallas_max_m)
     if not (isinstance(w, dict) and "q8" in w):
         return x @ w
     explicit_exact = use_pallas is False
@@ -253,6 +255,98 @@ def q8_apply(
         # enabled (backend-conditional default in _w8a8_enabled)
         return w8a8_matmul(x, w["q8"], w["scale"])
     return x @ dequantize_int8(w["q8"], w["scale"], x.dtype)
+
+
+def q8c_apply(
+    x: jnp.ndarray, w, use_pallas: Optional[bool] = None,
+    pallas_max_m: int = 256,
+) -> jnp.ndarray:
+    """q8_apply over the SERVING-PACKED chunk layout (ops/decode_serve.py):
+
+    - {'q8c': [nc, D, BN], 'scale': [Np]}  column chunks: each chunk routes
+      through the standard q8_apply dispatch (Pallas / W8A8 / exact dequant)
+      and the outputs concatenate along the last axis. Padded columns carry
+      zero scale, so outputs beyond the logical N are exactly 0 (the MLP's
+      silu(0)*0 path keeps them inert; q/k/v/o pack with Np == N).
+    - {'q8r': [ncf, BF, D], 'scale': [D]}  down_proj row chunks: the
+      contraction splits over row blocks and accumulates; x may carry padded
+      Fp columns (zero rows contribute nothing).
+
+    This is how prefill and the scan decode path consume the packed layout —
+    the pack REPLACES the standard tree in HBM, so there is no [D, N] copy
+    to fall back to."""
+    if "q8c" in w:
+        q8c, scale = w["q8c"], w["scale"]
+        nc, D, BN = q8c.shape
+        outs = [
+            q8_apply(
+                x,
+                {"q8": q8c[j], "scale": scale[j * BN : (j + 1) * BN]},
+                use_pallas=use_pallas, pallas_max_m=pallas_max_m,
+            )
+            for j in range(nc)
+        ]
+        return jnp.concatenate(outs, axis=-1)
+    q8r, scale = w["q8r"], w["scale"]
+    ncf, BF, D = q8r.shape
+    acc = None
+    unit = jnp.ones((D,), jnp.float32)
+    for j in range(ncf):
+        part = q8_apply(
+            x[..., j * BF : (j + 1) * BF],
+            # per-chunk unit output scale; the real per-output scale applies
+            # once on the f32-accumulated sum below
+            {"q8": q8r[j], "scale": unit},
+            use_pallas=use_pallas, pallas_max_m=pallas_max_m,
+        ).astype(jnp.float32)
+        acc = part if acc is None else acc + part
+    return (acc * scale).astype(x.dtype)
+
+
+def pack_serving_weights_host(layers: dict, block_n: int = 1024,
+                              block_f: int = 1024) -> dict:
+    """Numpy variant of decode_serve.pack_serving_weights for the loader:
+    pack a quantized layer tree in host RAM so the packed copy never
+    coexists with the standard one in HBM."""
+    import math
+
+    import numpy as np
+
+    from revisionllm_tpu.ops.decode_serve import COL_MATS
+
+    def rup(x, m):
+        return ((x + m - 1) // m) * m
+
+    f_pad = math.lcm(block_n, block_f)
+    out = {}
+    for name in COL_MATS:
+        wq = np.asarray(layers[name]["q8"])
+        s = np.asarray(layers[name]["scale"], dtype=np.float32)
+        L, D, N = wq.shape
+        Np = rup(N, f_pad if name in ("gate_proj", "up_proj") else block_n)
+        nc = Np // block_n
+        if Np != N:
+            wq = np.pad(wq, ((0, 0), (0, 0), (0, Np - N)))
+            s = np.pad(s, ((0, 0), (0, Np - N)))
+        out[name] = {
+            "q8c": np.ascontiguousarray(
+                wq.reshape(L, D, nc, block_n).transpose(0, 2, 1, 3)
+            ),
+            "scale": s,
+        }
+    wd = np.asarray(layers["down_proj"]["q8"])
+    L, F, D = wd.shape
+    Fp = rup(F, f_pad)
+    if Fp != F:
+        wd = np.pad(wd, ((0, 0), (0, Fp - F), (0, 0)))
+    out["down_proj"] = {
+        "q8r": wd.reshape(L, Fp // block_f, block_f, D),
+        "scale": np.asarray(layers["down_proj"]["scale"], dtype=np.float32),
+    }
+    for name, v in layers.items():
+        if name not in out:
+            out[name] = v
+    return out
 
 
 def quantize_llama_params_host(params, quantize_lm_head: bool = True):

@@ -170,3 +170,59 @@ class TestServeDecodeParity:
             # scale reconstructs the absmax (|q8|max == 127 where scale > tiny)
             mx = np.abs(q8).max(axis=-1)
             assert np.all((mx == 127) | (np.abs(deq).max(axis=-1) < 1e-6))
+
+
+class TestChunkedApply:
+    """q8_apply over the packed serving layout must match the standard
+    {'q8','scale'} path (prefill/scan-decode consume the pack through it)."""
+
+    def test_col_chunks_match_standard(self, setup):
+        from revisionllm_tpu.ops.quant import pack_serving_weights_host, q8_apply
+
+        cfg, qparams, *_ = setup
+        packed = pack_serving_weights_host(
+            jax.tree.map(np.asarray, qparams["layers"]), block_n=128, block_f=160
+        )
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(5, cfg.hidden_size)), jnp.float32)
+        for name in ("q_proj", "gate_proj"):
+            lw = qparams["layers"][name]
+            std = q8_apply(
+                x, {"q8": lw["q8"][0], "scale": lw["scale"][0]}, use_pallas=False
+            )
+            w = packed[name]
+            ch = q8_apply(
+                x, {"q8c": jnp.asarray(w["q8c"][0]), "scale": jnp.asarray(w["scale"][0])},
+                use_pallas=False,
+            )
+            N = std.shape[-1]
+            np.testing.assert_allclose(
+                np.asarray(ch)[..., :N], np.asarray(std), rtol=1e-5, atol=1e-5
+            )
+            # padded tail (zero scale) must be exactly zero
+            assert np.all(np.asarray(ch)[..., N:] == 0.0)
+
+    def test_row_chunks_match_standard(self, setup):
+        from revisionllm_tpu.ops.quant import pack_serving_weights_host, q8_apply
+
+        cfg, qparams, *_ = setup
+        packed = pack_serving_weights_host(
+            jax.tree.map(np.asarray, qparams["layers"]), block_n=128, block_f=160
+        )
+        F = cfg.intermediate_size
+        w = packed["down_proj"]
+        Fp = w["q8r"].shape[1] * w["q8r"].shape[2]
+        rng = np.random.default_rng(8)
+        x = np.zeros((5, Fp), np.float32)
+        x[:, :F] = rng.normal(size=(5, F))
+        lw = qparams["layers"]["down_proj"]
+        std = q8_apply(
+            jnp.asarray(x[:, :F]),
+            {"q8": lw["q8"][0], "scale": lw["scale"][0]}, use_pallas=False,
+        )
+        ch = q8_apply(
+            jnp.asarray(x),
+            {"q8r": jnp.asarray(w["q8r"][0]), "scale": jnp.asarray(w["scale"][0])},
+            use_pallas=False,
+        )
+        np.testing.assert_allclose(np.asarray(ch), np.asarray(std), rtol=2e-3, atol=2e-3)
