@@ -92,6 +92,19 @@ def main():
             quantize_llama_params_int4 if quant_kind == "int4"
             else quantize_llama_params
         )
+        # BENCH_SERVE=1: pack layer weights into the contiguous serving-chunk
+        # layout (ops/decode_serve.py) — prefill consumes it through
+        # q8_apply's chunked dispatch, decode through the fused serve kernel
+        if os.environ.get("BENCH_SERVE", "0") == "1" and quant_kind == "int8":
+            from revisionllm_tpu.ops.decode_serve import pack_serving_weights
+
+            base_quant_fn = quant_fn
+
+            def quant_fn(p):  # noqa: F811
+                q = dict(base_quant_fn(p))
+                q["layers"] = pack_serving_weights(q["layers"])
+                return q
+
         shapes = jax.eval_shape(
             lambda k: quant_fn(llama_mod.init_params(cfg, k, dtype)),
             jax.random.PRNGKey(0),

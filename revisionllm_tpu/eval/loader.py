@@ -85,6 +85,17 @@ def build_engine_from_args(args) -> GroundingEngine:
         from revisionllm_tpu.ops.quant import quantize_llama_params_host
 
         params = quantize_llama_params_host(params)
+        # REVISIONLLM_SERVE=1: pack into the contiguous serving-chunk layout
+        # in host RAM (the packed copy replaces — never coexists with — the
+        # standard tree in HBM); decode then runs the fused serve kernel
+        # when the backbone shape supports it (ops/decode_serve.py)
+        if os.environ.get("REVISIONLLM_SERVE", "0") == "1":
+            from revisionllm_tpu.ops.decode_serve import supports_serve
+            from revisionllm_tpu.ops.quant import pack_serving_weights_host
+
+            if supports_serve(llama_cfg, params):
+                params = dict(params)
+                params["layers"] = pack_serving_weights_host(params["layers"])
     params = jnp_tree(params)
     # note: llama.fuse_layer_matrices (qkv/gateup fusion) measured NEUTRAL to
     # slightly negative at these shapes (the gate/up split copies large

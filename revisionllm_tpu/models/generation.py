@@ -74,6 +74,30 @@ def _megakernel_enabled() -> bool:
     return _MEGAKERNEL
 
 
+_SERVE = None
+
+
+def set_serve(enabled: Optional[bool]) -> None:
+    global _SERVE
+    _SERVE = enabled
+
+
+def _serve_enabled() -> bool:
+    """Serving-layout decode (ops/decode_serve.py): contiguous pre-chunked
+    weights + unified KV slab + nb-row batched attention. Requires params
+    packed with pack_serving_weights (prefill consumes the pack through
+    q8_apply's chunked dispatch). REVISIONLLM_SERVE=0/1 overrides; default
+    follows the weight layout (packed params can ONLY decode through the
+    serve kernel — the standard [D, N] tree no longer exists in HBM)."""
+    global _SERVE
+    if _SERVE is None:
+        import os
+
+        env = os.environ.get("REVISIONLLM_SERVE")
+        _SERVE = None if env is None else env == "1"
+    return _SERVE
+
+
 def generate(
     cfg: LlamaConfig,
     params: Dict[str, Any],
@@ -111,15 +135,28 @@ def generate(
             cfg, params, embeds, positions, kv_lens=prompt_lens,
             use_pallas=use_pallas, kv_quant=_kv8_enabled(),
         )
+    from revisionllm_tpu.ops import decode_serve as DSV
     from revisionllm_tpu.ops import decode_step as DS
 
+    lq = params["layers"].get("q_proj")
+    packed_layout = isinstance(lq, dict) and "q8c" in lq
+    use_serve = (
+        packed_layout
+        and _serve_enabled() is not False
+        and _kv8_enabled()
+        and "k_scale" in prompt_kv
+        and DSV.supports_serve(cfg, params)
+    )
     use_mega = (
-        _megakernel_enabled()
+        not use_serve
+        and _megakernel_enabled()
         and _kv8_enabled()
         and "k_scale" in prompt_kv
         and DS.supports_megakernel(cfg, params)
     )
-    if use_mega:
+    if use_serve:
+        gen_cache, _s0 = DSV.pack_unified_kv(prompt_kv, G)
+    elif use_mega:
         pkv_packed = DS.pack_prompt_kv(prompt_kv)
         gen_cache = DS.init_gen_cache(
             cfg.num_layers, B, cfg.num_kv_heads, cfg.head_dim, G, embeds.dtype
@@ -140,7 +177,7 @@ def generate(
         return jnp.argmax(logits, axis=-1)
 
     def decode_one(gen_cache, g, tok_embed):
-        if not use_mega:
+        if not (use_mega or use_serve):
             return llama.decode_step_split(
                 cfg, params, prompt_kv, prompt_lens, gen_cache, g,
                 tok_embed.astype(embeds.dtype),
@@ -151,11 +188,19 @@ def generate(
         pos = (prompt_lens + g)[:, None]
         rotary_dim = int(cfg.head_dim * cfg.rope_fraction)
         cos, sin = rope_angles(pos, rotary_dim, cfg.rope_theta)
-        hidden, gen_cache = DS.decode_step_fused(
-            params, pkv_packed, gen_cache, prompt_lens, g,
-            tok_embed[:, 0, :].astype(embeds.dtype), cos[:, 0], sin[:, 0],
-            eps=cfg.rms_norm_eps,
-        )
+        if use_serve:
+            hidden, gen_cache = DSV.decode_step_serve(
+                params["layers"], gen_cache, prompt_lens, g,
+                tok_embed[:, 0, :].astype(embeds.dtype), cos[:, 0], sin[:, 0],
+                s0=_s0, eps=cfg.rms_norm_eps,
+                interpret=not _is_tpu_backend(),
+            )
+        else:
+            hidden, gen_cache = DS.decode_step_fused(
+                params, pkv_packed, gen_cache, prompt_lens, g,
+                tok_embed[:, 0, :].astype(embeds.dtype), cos[:, 0], sin[:, 0],
+                eps=cfg.rms_norm_eps,
+            )
         h = rms_norm(hidden[:, None, :], params["final_norm"], cfg.rms_norm_eps)
         logits = llama.logits_from_hidden(params, h[:, 0])
         return logits, gen_cache

@@ -103,8 +103,9 @@ def pack_serving_weights(
         "q8r": wd.reshape(L, Fp // block_f, block_f, D),  # [L, ncf, BF, D]
         "scale": sd.astype(jnp.float32),
     }
-    for name in ("attn_norm", "mlp_norm"):
-        out[name] = layers[name]
+    for name, v in layers.items():
+        if name not in out:
+            out[name] = v
     return out
 
 

@@ -257,6 +257,43 @@ def q8_apply(
     return x @ dequantize_int8(w["q8"], w["scale"], x.dtype)
 
 
+def _w8a8_colchunk_matmul(
+    x: jnp.ndarray, q8c: jnp.ndarray, scale_r: jnp.ndarray
+) -> jnp.ndarray:
+    """w8a8_matmul over the [nc, D, BN] column-chunk layout: one int8
+    dot_general with the chunk axis as a result dim, free output reshape to
+    [.., nc*BN]. Same straight-through VJP as w8a8_matmul (the activation
+    round() must not zero gradients to earlier layers)."""
+    nc, D, BN = q8c.shape
+
+    @jax.custom_vjp
+    def inner(x):
+        xf = x.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        x_scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+        x_q8 = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            x_q8, q8c, (((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [.., nc, BN]
+        out = acc.astype(jnp.float32) * x_scale[..., None] * scale_r
+        return out.astype(x.dtype).reshape(*x.shape[:-1], nc * BN)
+
+    def fwd(x):
+        return inner(x), None
+
+    def bwd(_, g):
+        g3 = g.reshape(*g.shape[:-1], nc, BN).astype(jnp.float32)
+        wf = q8c.astype(jnp.float32) * scale_r[:, None, :]
+        gx = jax.lax.dot_general(
+            g3, wf, (((g3.ndim - 2, g3.ndim - 1), (0, 2)), ((), ())),
+        )
+        return (gx.astype(g.dtype),)
+
+    inner.defvjp(fwd, bwd)
+    return inner(x)
+
+
 def q8c_apply(
     x: jnp.ndarray, w, use_pallas: Optional[bool] = None,
     pallas_max_m: int = 256,
@@ -274,33 +311,42 @@ def q8c_apply(
 
     This is how prefill and the scan decode path consume the packed layout —
     the pack REPLACES the standard tree in HBM, so there is no [D, N] copy
-    to fall back to."""
+    to fall back to.
+
+    Large-M routes run as ONE dot_general over the 3D chunk tensor (the
+    chunk axis rides as a result dim; the output reshape [.., nc, BN] ->
+    [.., Np] is free on the contiguous result) — a per-chunk python loop
+    would cost a concatenate copy per matmul and, for the row chunks, ncf
+    materialized f32 partials. Only the small-M Pallas decode fallback
+    loops per chunk (tiny outputs, the serve kernel is the default there).
+    """
+    explicit_exact = use_pallas is False
+    resolved_pallas = _is_tpu_backend() if use_pallas is None else use_pallas
+    M = 1
+    for d in x.shape[:-1]:
+        M *= d
     if "q8c" in w:
         q8c, scale = w["q8c"], w["scale"]
         nc, D, BN = q8c.shape
-        outs = [
-            q8_apply(
-                x,
-                {"q8": q8c[j], "scale": scale[j * BN : (j + 1) * BN]},
-                use_pallas=use_pallas, pallas_max_m=pallas_max_m,
-            )
-            for j in range(nc)
-        ]
-        return jnp.concatenate(outs, axis=-1)
+        if resolved_pallas and M <= pallas_max_m:
+            outs = [
+                int8_matmul(x, q8c[j], scale[j * BN : (j + 1) * BN])
+                for j in range(nc)
+            ]
+            return jnp.concatenate(outs, axis=-1)
+        scale_r = scale.reshape(nc, BN)
+        if _w8a8_enabled() and not explicit_exact and M > pallas_max_m:
+            return _w8a8_colchunk_matmul(x, q8c, scale_r)
+        wf = q8c.astype(x.dtype) * scale_r[:, None, :].astype(x.dtype)
+        out = jax.lax.dot_general(x, wf, (((x.ndim - 1,), (1,)), ((), ())))
+        return out.reshape(*x.shape[:-1], nc * BN)
     q8r, scale = w["q8r"], w["scale"]
     ncf, BF, D = q8r.shape
-    acc = None
-    unit = jnp.ones((D,), jnp.float32)
-    for j in range(ncf):
-        part = q8_apply(
-            x[..., j * BF : (j + 1) * BF],
-            # per-chunk unit output scale; the real per-output scale applies
-            # once on the f32-accumulated sum below
-            {"q8": q8r[j], "scale": unit},
-            use_pallas=use_pallas, pallas_max_m=pallas_max_m,
-        ).astype(jnp.float32)
-        acc = part if acc is None else acc + part
-    return (acc * scale).astype(x.dtype)
+    # [ncf, BF, D] is the padded [Fp, D] matrix, contiguous: reshape is free
+    return q8_apply(
+        x, {"q8": q8r.reshape(ncf * BF, D), "scale": scale},
+        use_pallas=use_pallas, pallas_max_m=pallas_max_m,
+    )
 
 
 def pack_serving_weights_host(layers: dict, block_n: int = 1024,

@@ -226,3 +226,116 @@ class TestChunkedApply:
             use_pallas=False,
         )
         np.testing.assert_allclose(np.asarray(ch), np.asarray(std), rtol=2e-3, atol=2e-3)
+
+
+class TestGenerateServePath:
+    """generation.generate must route decode through the serve kernel when
+    params carry the packed layout (and fall back cleanly when REVISIONLLM_
+    SERVE=0): prefill consumes the pack via q8_apply's chunked dispatch, the
+    unified slab replaces the split gen cache."""
+
+    def test_generate_with_packed_params(self, setup):
+        from revisionllm_tpu.models import generation
+
+        cfg, qparams, _, _, B = setup
+        S = 40
+        rng = np.random.default_rng(11)
+        ids = jnp.asarray(rng.integers(5, cfg.vocab_size, (B, S)), jnp.int32)
+        embeds = llama.embed_tokens(qparams, ids).astype(jnp.float32)
+        positions = jnp.arange(S)[None, :].repeat(B, 0)
+        prompt_lens = jnp.asarray([S, S - 3, S - 7, S - 1], jnp.int32)
+
+        packed = dict(qparams)
+        packed["layers"] = DSV.pack_serving_weights(
+            qparams["layers"], block_n=128, block_f=160
+        )
+        generation.set_kv8(True)
+        try:
+            ref = generation.generate(
+                cfg, qparams, embeds, positions, prompt_lens,
+                eos_id=2, max_new_tokens=4,
+            )
+            out = generation.generate(
+                cfg, packed, embeds, positions, prompt_lens,
+                eos_id=2, max_new_tokens=4,
+            )
+        finally:
+            generation.set_kv8(None)
+        assert out["tokens"].shape == (B, 4)
+        # step 0 sees only the (identically quantized) prompt KV: exact match
+        np.testing.assert_array_equal(
+            np.asarray(out["tokens"][:, 0]), np.asarray(ref["tokens"][:, 0])
+        )
+        assert np.isfinite(np.asarray(out["entropy"])).all()
+
+    def test_serve_opt_out_env(self, setup, monkeypatch):
+        from revisionllm_tpu.models import generation
+
+        cfg, qparams, _, _, B = setup
+        packed = dict(qparams)
+        packed["layers"] = DSV.pack_serving_weights(
+            qparams["layers"], block_n=128, block_f=160
+        )
+        monkeypatch.setenv("REVISIONLLM_SERVE", "0")
+        generation.set_serve(None)  # force env re-read
+        generation.set_kv8(True)
+        try:
+            # packed params + serve disabled -> scan path must still work
+            # through q8_apply's chunked dispatch
+            S = 24
+            rng = np.random.default_rng(12)
+            ids = jnp.asarray(rng.integers(5, cfg.vocab_size, (B, S)), jnp.int32)
+            embeds = llama.embed_tokens(qparams, ids).astype(jnp.float32)
+            positions = jnp.arange(S)[None, :].repeat(B, 0)
+            prompt_lens = jnp.full((B,), S, jnp.int32)
+            out = generation.generate(
+                cfg, packed, embeds, positions, prompt_lens,
+                eos_id=2, max_new_tokens=2,
+            )
+            assert out["tokens"].shape == (B, 2)
+        finally:
+            generation.set_kv8(None)
+            generation.set_serve(None)
+
+
+class TestChunkedW8A8:
+    """The one-dot col-chunk W8A8 path must match the standard w8a8_matmul
+    bitwise (same int8 accumulation, different weight layout), and its
+    straight-through VJP must pass gradients to x."""
+
+    def test_w8a8_colchunk_matches_standard(self, setup):
+        from revisionllm_tpu.ops import quant as Q
+
+        cfg, qparams, *_ = setup
+        lw = qparams["layers"]["q_proj"]
+        packed = DSV.pack_serving_weights(qparams["layers"], block_n=128, block_f=160)
+        rng = np.random.default_rng(21)
+        # M > pallas_max_m so the W8A8 branch engages
+        x = jnp.asarray(rng.normal(size=(300, cfg.hidden_size)), jnp.float32)
+        Q.set_w8a8(True)
+        try:
+            std = Q.q8_apply(x, {"q8": lw["q8"][0], "scale": lw["scale"][0]})
+            ch = Q.q8_apply(
+                x,
+                {"q8c": packed["q_proj"]["q8c"][0],
+                 "scale": packed["q_proj"]["scale"][0]},
+            )
+        finally:
+            Q.set_w8a8(None)
+        np.testing.assert_array_equal(np.asarray(std), np.asarray(ch))
+
+    def test_w8a8_colchunk_grad_flows(self, setup):
+        from revisionllm_tpu.ops import quant as Q
+
+        cfg, qparams, *_ = setup
+        packed = DSV.pack_serving_weights(qparams["layers"], block_n=128, block_f=160)
+        w = {"q8c": packed["q_proj"]["q8c"][0], "scale": packed["q_proj"]["scale"][0]}
+        rng = np.random.default_rng(22)
+        x = jnp.asarray(rng.normal(size=(300, cfg.hidden_size)), jnp.float32)
+        Q.set_w8a8(True)
+        try:
+            g = jax.grad(lambda x: jnp.sum(Q.q8_apply(x, w) ** 2))(x)
+        finally:
+            Q.set_w8a8(None)
+        gn = np.asarray(jnp.abs(g).max())
+        assert np.isfinite(gn) and gn > 0.0
