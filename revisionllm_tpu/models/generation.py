@@ -125,28 +125,33 @@ def generate(
         rng = jax.random.PRNGKey(0)
 
     prompt_lens = prompt_lens.astype(jnp.int32)
+    from revisionllm_tpu.ops import decode_serve as DSV
+    from revisionllm_tpu.ops import decode_step as DS
+
+    lq = params["layers"].get("q_proj")
+    packed_layout = isinstance(lq, dict) and "q8c" in lq
+    serve_intent = (
+        packed_layout
+        and _serve_enabled() is not False
+        and _kv8_enabled()
+        and DSV.supports_serve(cfg, params)
+    )
     if shared_prefix_len > 1 and B > 1:
         first_logits, prompt_kv = llama.prefill_shared_prefix(
             cfg, params, embeds, positions, prefix_len=shared_prefix_len,
             kv_lens=prompt_lens, use_pallas=use_pallas, kv_quant=_kv8_enabled(),
         )
     else:
+        # serve path: prefill emits the unified slab layout per layer inside
+        # the scan — the split [L,B,T,KH,hd] cache never materializes next
+        # to the slab (a repack would transiently need both, ~+5 GB at 7B
+        # chunk-64 geometry)
         first_logits, prompt_kv = llama.prefill_kv(
             cfg, params, embeds, positions, kv_lens=prompt_lens,
             use_pallas=use_pallas, kv_quant=_kv8_enabled(),
+            kv_slab_slots=G if serve_intent else None,
         )
-    from revisionllm_tpu.ops import decode_serve as DSV
-    from revisionllm_tpu.ops import decode_step as DS
-
-    lq = params["layers"].get("q_proj")
-    packed_layout = isinstance(lq, dict) and "q8c" in lq
-    use_serve = (
-        packed_layout
-        and _serve_enabled() is not False
-        and _kv8_enabled()
-        and "k_scale" in prompt_kv
-        and DSV.supports_serve(cfg, params)
-    )
+    use_serve = serve_intent and ("kv" in prompt_kv or "k_scale" in prompt_kv)
     use_mega = (
         not use_serve
         and _megakernel_enabled()
@@ -155,7 +160,10 @@ def generate(
         and DS.supports_megakernel(cfg, params)
     )
     if use_serve:
-        gen_cache, _s0 = DSV.pack_unified_kv(prompt_kv, G)
+        if "kv" in prompt_kv:
+            gen_cache, _s0 = prompt_kv, L
+        else:  # shared-prefix prefill returns the split cache; repack
+            gen_cache, _s0 = DSV.pack_unified_kv(prompt_kv, G)
     elif use_mega:
         pkv_packed = DS.pack_prompt_kv(prompt_kv)
         gen_cache = DS.init_gen_cache(

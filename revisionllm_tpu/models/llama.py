@@ -218,6 +218,7 @@ def forward_hidden(
     return_kv: bool = False,
     trainable: bool = False,
     kv_quant: bool = False,
+    kv_slab_slots: Optional[int] = None,
 ):
     """Full-sequence forward. embeds [B, T, D], positions [B, T] int32.
 
@@ -226,8 +227,20 @@ def forward_hidden(
     int8 k/v + per-(position, head) scales INSIDE the layer scan — the bf16
     cache never materializes, which is what lets large window chunks fit
     next to the weights.
+
+    kv_slab_slots (with kv_quant): emit each layer's kv directly in the
+    unified serving-slab layout of ops.decode_serve — head-major
+    [B, 2, KH, Sp, hd] int8 with Sp = round_up(T + kv_slab_slots, 128)
+    (the scan stacks layers into the full [L, ...] slab). The split
+    [L, B, T, KH, hd] cache then NEVER materializes, so the slab fits next
+    to the 7B weights where split-then-repack would transiently need both.
     """
     cos, sin = rope_angles(positions, _rotary_dim(cfg), cfg.rope_theta)
+    T = embeds.shape[1]
+    slab_pad = None
+    if kv_slab_slots is not None:
+        assert kv_quant, "kv_slab_slots requires kv_quant=True"
+        slab_pad = ((T + kv_slab_slots + 127) // 128) * 128 - T
 
     def _quantize_kv(t):
         tf = t.astype(jnp.float32)
@@ -235,6 +248,20 @@ def forward_hidden(
         sc = jnp.where(absmax > 0, absmax / 127.0, 1.0)
         q = jnp.clip(jnp.round(tf / sc[..., None]), -127, 127).astype(jnp.int8)
         return q, sc
+
+    def _slab_entry(kq, ks, vq, vs):
+        # [B, T, KH, hd] -> kv [B, 2, KH, Sp, hd], scales [B, 2, KH, Sp]
+        def hm(q):
+            q = jnp.transpose(q, (0, 2, 1, 3))
+            return jnp.pad(q, ((0, 0), (0, 0), (0, slab_pad), (0, 0)))
+
+        def hs(s):
+            s = jnp.transpose(s, (0, 2, 1))
+            return jnp.pad(s, ((0, 0), (0, 0), (0, slab_pad)))
+
+        kv = jnp.stack([hm(kq), hm(vq)], axis=1)
+        sc = jnp.stack([hs(ks), hs(vs)], axis=1).astype(jnp.float32)
+        return kv, sc
 
     def layer(carry, xs):
         x = carry
@@ -252,6 +279,8 @@ def forward_hidden(
         if kv_quant:
             kq, ks = _quantize_kv(k)
             vq, vs = _quantize_kv(v)
+            if slab_pad is not None:
+                return x, _slab_entry(kq, ks, vq, vs)
             return x, (kq, ks, vq, vs)
         return x, (k, v)
 
@@ -403,20 +432,26 @@ def prefill_kv(
     lora_scale: float = 0.0,
     use_pallas: Optional[bool] = None,
     kv_quant: bool = False,
+    kv_slab_slots: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Params]:
     """Prefill without a preallocated cache: returns (last-position logits,
     read-only prompt kv {"k","v"[,"k_scale","v_scale"]} [L, B, T, KH, hd]).
-    kv_quant=True yields the int8 cache directly (no bf16 peak)."""
+    kv_quant=True yields the int8 cache directly (no bf16 peak).
+    kv_slab_slots=G instead returns the unified serving slab
+    {"kv", "kvsc"} of ops.decode_serve with G generation slots (s0 = T)."""
     hidden, kv_out = forward_hidden(
         cfg, params, embeds, positions, kv_lens, lora, lora_scale, use_pallas,
-        return_kv=True, kv_quant=kv_quant,
+        return_kv=True, kv_quant=kv_quant, kv_slab_slots=kv_slab_slots,
     )
     if kv_lens is None:
         last = hidden[:, -1]
     else:
         idx = jnp.maximum(kv_lens - 1, 0)
         last = jnp.take_along_axis(hidden, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
-    if kv_quant:
+    if kv_slab_slots is not None:
+        kv, sc = kv_out
+        cache = {"kv": kv, "kvsc": sc}
+    elif kv_quant:
         kq, ks, vq, vs = kv_out
         cache = {"k": kq, "k_scale": ks, "v": vq, "v_scale": vs}
     else:

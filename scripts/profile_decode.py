@@ -185,7 +185,7 @@ def main(argv=None):
             "kvsc": jnp.ones((L, B, 2, KH, Sp), jnp.float32),
         }
 
-        def run(params, slab0, tok0):
+        def run(params, packed, slab0, tok0):
             def sstep(carry, g):
                 slab, te = carry
                 pos = (prompt_lens + g)[:, None]
@@ -209,9 +209,11 @@ def main(argv=None):
 
         # no donation: the timing loop reuses slab0 across calls (the scan
         # carry gives XLA one 3.2 GB copy per call, ~0.3 ms/step amortized;
-        # the engine integration donates instead)
+        # the engine integration donates instead). packed rides as a jit
+        # ARGUMENT — closing over 6.6 GB of weights embeds them as HLO
+        # constants, which the remote-compile relay cannot swallow
         fn = jax.jit(run)
-        return lambda p, pk, g0, t0: fn(p, slab0, t0)
+        return lambda p, pk, g0, t0: fn(p, packed, slab0, t0)
 
     def make_step(variant):
         """One decode step mirroring llama.decode_step_split with ablations."""
