@@ -143,6 +143,9 @@ def main(argv=None):
     p.add_argument("--video", required=True, help="mp4 or .npy feature file")
     p.add_argument("--clip_path", default=None, help="HF CLIP dir for raw video")
     p.add_argument("--gradio", action="store_true")
+    p.add_argument("--web", action="store_true",
+                   help="stdlib web UI with token streaming (no gradio needed)")
+    p.add_argument("--port", type=int, default=7860)
     args = p.parse_args(argv)
 
     from revisionllm_tpu.eval.loader import adapter_cfg_from_args
@@ -174,7 +177,11 @@ def main(argv=None):
             (llama_cfg, adapter_cfg, params, vision, tokenizer), feats
         )
 
-    if args.gradio:
+    if args.web:
+        from revisionllm_tpu.webdemo import launch_web
+
+        launch_web(make_session, port=args.port)
+    elif args.gradio:
         launch_gradio(make_session)
     else:
         repl(make_session(args.video))
