@@ -206,6 +206,16 @@ def main():
         file=sys.stderr,
     )
     print(json.dumps(result))
+    # second metric line (opt-in: the driver contract is ONE JSON line).
+    # p50 single-query latency is a BASELINE.json north-star; the reference
+    # at batch 1 takes ~16 s for the same 57-window movie (0.28 s/window).
+    if os.environ.get("BENCH_EMIT_P50", "0") == "1":
+        print(json.dumps({
+            "metric": "p50_query_latency_stage1_dense_1h",
+            "value": round(p50_s, 3),
+            "unit": "seconds",
+            "vs_baseline": round((0.28 * windows_per_query) / p50_s, 2),
+        }))
 
 
 if __name__ == "__main__":

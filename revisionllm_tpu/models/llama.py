@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from revisionllm_tpu.config import LlamaConfig
 from revisionllm_tpu.ops.flash_attention import attention, mha_reference, trainable_attention
 from revisionllm_tpu.ops.norms import rms_norm
-from revisionllm_tpu.ops.quant import q8_apply
+from revisionllm_tpu.ops.quant import q8_apply, q8_apply_multi
 from revisionllm_tpu.ops.rope import apply_rope, apply_rope_interleaved, rope_angles
 
 from revisionllm_tpu.utils.backend import is_tpu_backend as _is_tpu_backend
@@ -172,6 +172,15 @@ def _attention_block(
         q = qkv[..., :q_out].reshape(B, T, H, hd)
         k = qkv[..., q_out : q_out + kv_out].reshape(B, T, KH, hd)
         v = qkv[..., q_out + kv_out :].reshape(B, T, KH, hd)
+    elif lora_lp is None:
+        # one shared activation quantization for q/k/v on the W8A8 path
+        # (q8_apply_multi falls back to per-matrix q8_apply otherwise)
+        qm, km, vm = q8_apply_multi(
+            x, (lp["q_proj"], lp["k_proj"], lp["v_proj"]), use_pallas=use_pallas
+        )
+        q = qm.reshape(B, T, H, hd)
+        k = km.reshape(B, T, KH, hd)
+        v = vm.reshape(B, T, KH, hd)
     else:
         q = proj("q_proj").reshape(B, T, H, hd)
         k = proj("k_proj").reshape(B, T, KH, hd)
@@ -200,6 +209,9 @@ def _mlp_block(lp, lora_lp, lora_scale, x):
         gu = q8_apply(x, lp["gateup_proj"])
         f = gu.shape[-1] // 2
         return proj("down_proj", jax.nn.silu(gu[..., :f]) * gu[..., f:])
+    if lora_lp is None:
+        g_lin, up = q8_apply_multi(x, (lp["gate_proj"], lp["up_proj"]))
+        return q8_apply(jax.nn.silu(g_lin) * up, lp["down_proj"])
     gate = jax.nn.silu(proj("gate_proj", x))
     up = proj("up_proj", x)
     return proj("down_proj", gate * up)

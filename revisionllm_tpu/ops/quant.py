@@ -257,6 +257,76 @@ def q8_apply(
     return x @ dequantize_int8(w["q8"], w["scale"], x.dtype)
 
 
+def q8_apply_multi(
+    x: jnp.ndarray, ws, use_pallas: Optional[bool] = None,
+    pallas_max_m: int = 256,
+):
+    """Apply several quantized matrices to the SAME activation, sharing ONE
+    activation quantization on the large-M W8A8 path.
+
+    q/k/v read one norm output and gate/up another; routing each through
+    q8_apply re-runs the absmax+round+clip quantization per matmul — at
+    prefill geometry that is ~3 redundant HBM passes over [B, T, D] per
+    layer (XLA does not reliably CSE across the separate custom_vjp calls).
+    Numerics are bit-exact vs separate w8a8_matmul calls (identical
+    quantization of identical input); the straight-through VJP sums the
+    per-output cotangents through the dequantized weights.
+
+    Falls back to per-matrix q8_apply whenever the shared path does not
+    apply (non-q8 formats, small M, W8A8 off, explicit exact request)."""
+    ws = tuple(ws)
+    plain = all(
+        isinstance(w, dict) and "q8" in w
+        and "q4" not in w and "q8c" not in w and "q8r" not in w
+        for w in ws
+    )
+    M = 1
+    for d in x.shape[:-1]:
+        M *= d
+    shared = (
+        plain and len(ws) >= 2 and use_pallas is not False
+        and _w8a8_enabled() and M > pallas_max_m
+    )
+    if not shared:
+        return tuple(
+            q8_apply(x, w, use_pallas=use_pallas, pallas_max_m=pallas_max_m)
+            for w in ws
+        )
+    w_q8s = tuple(w["q8"] for w in ws)
+    w_scales = tuple(w["scale"] for w in ws)
+
+    @jax.custom_vjp
+    def inner(x):
+        xf = x.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        x_scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+        x_q8 = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+        outs = []
+        for wq, wsc in zip(w_q8s, w_scales):
+            acc = jax.lax.dot_general(
+                x_q8, wq, (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            outs.append((acc.astype(jnp.float32) * x_scale * wsc).astype(x.dtype))
+        return tuple(outs)
+
+    def fwd(x):
+        return inner(x), None
+
+    def bwd(_, gs):
+        gx = None
+        for g, wq, wsc in zip(gs, w_q8s, w_scales):
+            w = dequantize_int8(wq, wsc, jnp.float32)
+            part = jax.lax.dot_general(
+                g.astype(jnp.float32), w, (((g.ndim - 1,), (1,)), ((), ())),
+            )
+            gx = part if gx is None else gx + part
+        return (gx.astype(gs[0].dtype),)
+
+    inner.defvjp(fwd, bwd)
+    return inner(x)
+
+
 def _w8a8_colchunk_matmul(
     x: jnp.ndarray, q8c: jnp.ndarray, scale_r: jnp.ndarray
 ) -> jnp.ndarray:

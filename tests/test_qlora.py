@@ -82,6 +82,7 @@ class TestQLora:
         ga2 = np.asarray(grads2["lora"]["layers"]["down_proj"]["a"])
         assert np.abs(ga2).max() > 0
 
+    @pytest.mark.slow
     def test_loss_close_to_bf16_base(self, setup):
         cfg, acfg, tcfg, base, qbase, vision, batch = setup
         trainable, frozen, _ = trainer_lib.build_trainable(

@@ -233,6 +233,7 @@ class TestInt4:
         got = np.asarray(int4_matmul(x, packed, scale, interpret=True))
         np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
+    @pytest.mark.slow
     def test_int4_llama_forward(self):
         from revisionllm_tpu.ops.quant import quantize_llama_params_int4
 
@@ -270,3 +271,118 @@ class TestInt4:
         h_fp = llama.forward_hidden(cfg, params, e, pos)
         corr = np.corrcoef(np.asarray(h_fp).ravel(), np.asarray(h_q4).ravel())[0, 1]
         assert corr > 0.9, corr
+
+
+class TestQ8ApplyMulti:
+    """Shared-activation-quantization multi-matmul: must be bit-exact vs
+    separate w8a8_matmul calls, fall back cleanly, and pass gradients."""
+
+    def _mk(self, seed, n_out=(48, 48, 32)):
+        from revisionllm_tpu.ops.quant import quantize_int8
+
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.normal(size=(300, 64)).astype(np.float32))
+        ws = []
+        for i, n in enumerate(n_out):
+            w = rng.normal(size=(64, n)).astype(np.float32)
+            q, s = quantize_int8(jnp.asarray(w))
+            ws.append({"q8": q, "scale": s})
+        return x, tuple(ws)
+
+    def test_bit_exact_vs_separate_w8a8(self):
+        from revisionllm_tpu.ops import quant as Q
+
+        x, ws = self._mk(31)
+        Q.set_w8a8(True)
+        try:
+            multi = Q.q8_apply_multi(x, ws)
+            single = [Q.w8a8_matmul(x, w["q8"], w["scale"]) for w in ws]
+        finally:
+            Q.set_w8a8(None)
+        for m, s in zip(multi, single):
+            np.testing.assert_array_equal(np.asarray(m), np.asarray(s))
+
+    def test_fallback_small_m_exact(self):
+        """M <= pallas_max_m must take the per-matrix (exact dequant on CPU)
+        path — identical to q8_apply."""
+        from revisionllm_tpu.ops import quant as Q
+
+        x, ws = self._mk(32)
+        x_small = x[:8]
+        Q.set_w8a8(True)
+        try:
+            multi = Q.q8_apply_multi(x_small, ws)
+            single = [Q.q8_apply(x_small, w) for w in ws]
+        finally:
+            Q.set_w8a8(None)
+        for m, s in zip(multi, single):
+            np.testing.assert_array_equal(np.asarray(m), np.asarray(s))
+
+    def test_fallback_w8a8_off(self):
+        from revisionllm_tpu.ops import quant as Q
+
+        x, ws = self._mk(33)
+        Q.set_w8a8(False)
+        try:
+            multi = Q.q8_apply_multi(x, ws)
+            single = [Q.q8_apply(x, w) for w in ws]
+        finally:
+            Q.set_w8a8(None)
+        for m, s in zip(multi, single):
+            np.testing.assert_array_equal(np.asarray(m), np.asarray(s))
+
+    def test_explicit_exact_request(self):
+        from revisionllm_tpu.ops import quant as Q
+
+        x, ws = self._mk(34)
+        Q.set_w8a8(True)
+        try:
+            multi = Q.q8_apply_multi(x, ws, use_pallas=False)
+            single = [Q.q8_apply(x, w, use_pallas=False) for w in ws]
+        finally:
+            Q.set_w8a8(None)
+        for m, s in zip(multi, single):
+            np.testing.assert_array_equal(np.asarray(m), np.asarray(s))
+
+    def test_gradient_flows_and_matches_dequant(self):
+        from revisionllm_tpu.ops import quant as Q
+
+        x, ws = self._mk(35)
+        Q.set_w8a8(True)
+        try:
+            def loss_multi(x):
+                outs = Q.q8_apply_multi(x, ws)
+                return sum(jnp.sum(o ** 2) for o in outs)
+
+            g = jax.grad(loss_multi)(x)
+
+            def loss_exact(x):
+                outs = [
+                    x @ Q.dequantize_int8(w["q8"], w["scale"], jnp.float32)
+                    for w in ws
+                ]
+                return sum(jnp.sum(o ** 2) for o in outs)
+
+            g_ref = jax.grad(loss_exact)(x)
+        finally:
+            Q.set_w8a8(None)
+        gn = np.asarray(jnp.abs(g).max())
+        assert np.isfinite(gn) and gn > 0.0
+        # straight-through: direction matches the exact-dequant gradient
+        cos = np.sum(np.asarray(g) * np.asarray(g_ref)) / (
+            np.linalg.norm(np.asarray(g)) * np.linalg.norm(np.asarray(g_ref))
+        )
+        assert cos > 0.98
+
+    def test_plain_array_weights_fall_back(self):
+        from revisionllm_tpu.ops import quant as Q
+
+        rng = np.random.default_rng(36)
+        x = jnp.asarray(rng.normal(size=(300, 64)).astype(np.float32))
+        ws = (
+            jnp.asarray(rng.normal(size=(64, 48)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32)),
+        )
+        outs = Q.q8_apply_multi(x, ws)
+        for o, w in zip(outs, ws):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(x @ w), rtol=1e-5)

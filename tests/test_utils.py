@@ -41,6 +41,7 @@ class TestHostSharding:
 
 
 class TestProfilerTrace:
+    @pytest.mark.slow
     def test_trace_writes(self, tmp_path):
         import jax.numpy as jnp
 
