@@ -266,6 +266,9 @@ def _flash_min_seq() -> int:
     return _FLASH_MIN_SEQ
 
 
+_EINSUM_SCORES_BYTES_MAX = 1_000_000_000  # per-layer f32 scores cutover
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -283,6 +286,21 @@ def attention(
         use_pallas = _is_tpu_backend()
     if use_pallas and max(q.shape[1], k.shape[1]) >= _flash_min_seq():
         return flash_attention(q, k, v, causal=causal, kv_lens=kv_lens, sm_scale=sm_scale)
+    # short sequences: einsum wins on small batches, but its materialized
+    # [B, H, T, S] f32 scores grow superlinearly with batch; above ~1 GB per
+    # layer, one-cell-per-(b,h) flash (grid B*H, blocks spanning the whole
+    # sequence) wins instead — measured at B=80, S=318, 7B: flash 1852.6 ms
+    # full-prefill vs einsum 2064.4 (tie at B=64: 1407.7 vs 1413.0)
+    if use_pallas:
+        B, T, H, _ = q.shape
+        S = k.shape[1]
+        if B * H * T * S * 4 > _EINSUM_SCORES_BYTES_MAX:
+            bq = min(-(-T // 8) * 8, 512)
+            bk = min(-(-S // 128) * 128, 512)
+            return flash_attention(
+                q, k, v, causal=causal, kv_lens=kv_lens, sm_scale=sm_scale,
+                block_q=bq, block_k=bk,
+            )
     return mha_reference(q, k, v, causal=causal, kv_lens=kv_lens, sm_scale=sm_scale)
 
 

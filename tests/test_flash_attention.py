@@ -175,3 +175,42 @@ class TestPrefixedKernel:
         want = prefixed_attention_reference(q, k, v, pk, pv, kv_lens=lens)
         got = flash_attention_prefixed(q, k, v, pk, pv, kv_lens=lens, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+class TestShortSeqDispatch:
+    """attention() must route big-batch short-seq calls to one-block flash
+    (materialized einsum scores grow superlinearly with batch; measured
+    crossover at ~1 GB/layer — BENCH_NOTES round-3 prefill follow-ups)."""
+
+    def test_large_scores_pick_flash(self, monkeypatch):
+        import revisionllm_tpu.ops.flash_attention as FA
+
+        calls = {}
+
+        def fake_flash(q, k, v, **kw):
+            calls.update(kw)
+            return mha_reference(q, k, v, causal=kw.get("causal", True),
+                                 kv_lens=kw.get("kv_lens"))
+
+        monkeypatch.setattr(FA, "flash_attention", fake_flash)
+        monkeypatch.setattr(FA, "_EINSUM_SCORES_BYTES_MAX", 1)
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(size=(2, 24, 4, 16)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(2, 24, 4, 16)).astype(np.float32))
+        out = FA.attention(q, k, v=k, use_pallas=True)
+        assert "block_q" in calls and "block_k" in calls
+        assert calls["block_q"] == 24 and calls["block_k"] == 128
+        ref = mha_reference(q, k, k, causal=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+
+    def test_small_scores_keep_einsum(self, monkeypatch):
+        import revisionllm_tpu.ops.flash_attention as FA
+
+        def boom(*a, **k):
+            raise AssertionError("flash should not be called")
+
+        monkeypatch.setattr(FA, "flash_attention", boom)
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.normal(size=(2, 24, 4, 16)).astype(np.float32))
+        out = FA.attention(q, q, q, use_pallas=True)
+        assert out.shape == q.shape
