@@ -357,9 +357,26 @@ def convert_chatglm(
         layers["attn_norm"].append(key(f"{pre}.input_layernorm.weight").astype(dtype))
         layers["mlp_norm"].append(key(f"{pre}.post_attention_layernorm.weight").astype(dtype))
 
-    return {
+    out = {
         "embed": key("embedding.word_embeddings.weight").astype(dtype),
         "layers": {n: np.stack(v) for n, v in layers.items()},
         "final_norm": key("encoder.final_layernorm.weight").astype(dtype),
         "lm_head": key("output_layer.weight").T.astype(dtype),
     }
+    # P-tuning checkpoints (config pre_seq_len set): the learned prefix table
+    # + optional 2-layer projection (modeling_chatglm.py PrefixEncoder :61-89)
+    for pe in ("prefix_encoder.", "transformer.prefix_encoder."):
+        if pe + "embedding.weight" in state:
+            prefix: Dict[str, Any] = {
+                "embed": state[pe + "embedding.weight"].astype(dtype)
+            }
+            if pe + "trans.0.weight" in state:  # torch Linear: [out, in] -> T
+                prefix["proj"] = {
+                    "w1": state[pe + "trans.0.weight"].T.astype(dtype),
+                    "b1": state[pe + "trans.0.bias"].astype(dtype),
+                    "w2": state[pe + "trans.2.weight"].T.astype(dtype),
+                    "b2": state[pe + "trans.2.bias"].astype(dtype),
+                }
+            out["prefix"] = prefix
+            break
+    return out

@@ -111,13 +111,16 @@ def generate(
     rng: Optional[jax.Array] = None,
     use_pallas: Optional[bool] = None,
     shared_prefix_len: int = 0,
+    prefix_kv: Optional[Any] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Decode `max_new_tokens` for a right-padded batch of spliced prompts.
 
     embeds [B, L, D], positions [B, L], prompt_lens [B]. When all rows share
     their first `shared_prefix_len` embeddings (the engine's window batches
     do), the prefix forward runs once at B=1 (llama.prefill_shared_prefix).
-    Returns dict with tokens/entropy/logprob/valid, each [B, G].
+    prefix_kv: P-tuning learned prefix (pk, pv) [L, 1, P, KH, hd]
+    (models.prefix) — attended throughout prefill AND decode, positions
+    unshifted. Returns dict with tokens/entropy/logprob/valid, each [B, G].
     """
     B, L, _ = embeds.shape
     G = max_new_tokens
@@ -132,10 +135,14 @@ def generate(
     packed_layout = isinstance(lq, dict) and "q8c" in lq
     serve_intent = (
         packed_layout
+        and prefix_kv is None
         and _serve_enabled() is not False
         and _kv8_enabled()
         and DSV.supports_serve(cfg, params)
     )
+    ptuning_len = 0 if prefix_kv is None else int(prefix_kv[0].shape[2])
+    if prefix_kv is not None and shared_prefix_len > 1:
+        raise ValueError("P-tuning prefix + shared-prefix prefill unsupported")
     if shared_prefix_len > 1 and B > 1:
         first_logits, prompt_kv = llama.prefill_shared_prefix(
             cfg, params, embeds, positions, prefix_len=shared_prefix_len,
@@ -150,10 +157,12 @@ def generate(
             cfg, params, embeds, positions, kv_lens=prompt_lens,
             use_pallas=use_pallas, kv_quant=_kv8_enabled(),
             kv_slab_slots=G if serve_intent else None,
+            prefix_kv=prefix_kv,
         )
     use_serve = serve_intent and ("kv" in prompt_kv or "k_scale" in prompt_kv)
     use_mega = (
         not use_serve
+        and ptuning_len == 0
         and _megakernel_enabled()
         and _kv8_enabled()
         and "k_scale" in prompt_kv
@@ -189,6 +198,9 @@ def generate(
             return llama.decode_step_split(
                 cfg, params, prompt_kv, prompt_lens, gen_cache, g,
                 tok_embed.astype(embeds.dtype),
+                # P-tuning prefix occupies cache[:, :, :P]: widen the valid-
+                # position mask without shifting rope positions
+                mask_lens=(prompt_lens + ptuning_len) if ptuning_len else None,
             )
         from revisionllm_tpu.ops.norms import rms_norm
         from revisionllm_tpu.ops.rope import rope_angles

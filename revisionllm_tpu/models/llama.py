@@ -158,6 +158,7 @@ def _attention_block(
     kv_lens: Optional[jnp.ndarray],
     use_pallas: Optional[bool],
     trainable: bool = False,
+    prefix_pkv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ):
     B, T, D = x.shape
     H, KH, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -191,7 +192,31 @@ def _attention_block(
         v = v + lp["v_bias"].reshape(KH, hd)
     q = _rope(cfg, q, cos, sin)
     k = _rope(cfg, k, cos, sin)
-    if trainable:
+    if prefix_pkv is not None:
+        # P-tuning prefix: un-roped learned kv [1, P, KH, hd], visible to all
+        # query positions (reference modeling_chatglm.py:808-814). Two-piece
+        # attention exactly like prefill_shared_prefix; the pure-jnp LSE
+        # merge is differentiable, so P-tuning training backprops into the
+        # prefix through it.
+        from revisionllm_tpu.ops.flash_attention import (
+            attention_lse,
+            flash_attention_prefixed,
+            merge_attention_pieces,
+        )
+
+        pk, pv = prefix_pkv
+        upr = _is_tpu_backend() if use_pallas is None else use_pallas
+        if upr and not trainable:
+            o = flash_attention_prefixed(q, k, v, pk, pv, kv_lens=kv_lens)
+        else:
+            pk_b = jnp.broadcast_to(pk, (B,) + pk.shape[1:])
+            pv_b = jnp.broadcast_to(pv, (B,) + pv.shape[1:])
+            o1, lse1 = attention_lse(q, pk_b, pv_b, causal=False, use_pallas=False)
+            o2, lse2 = attention_lse(
+                q, k, v, causal=True, kv_lens=kv_lens, use_pallas=False
+            )
+            o = merge_attention_pieces(o1, lse1, o2, lse2)
+    elif trainable:
         # custom-VJP kernels: the backward also runs blockwise on the MXU
         o = trainable_attention(q, k, v, causal=True, kv_lens=kv_lens, use_pallas=use_pallas)
     else:
@@ -231,8 +256,13 @@ def forward_hidden(
     trainable: bool = False,
     kv_quant: bool = False,
     kv_slab_slots: Optional[int] = None,
+    prefix_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ):
     """Full-sequence forward. embeds [B, T, D], positions [B, T] int32.
+
+    prefix_kv: P-tuning prefix (pk, pv) [L, 1, P, KH, hd] from
+    models.prefix.prefix_kv — prepended (un-roped) to every layer's
+    attention keys/values; real-token positions are unshifted.
 
     Returns final hidden [B, T, D]; with return_kv=True also the per-layer
     (k, v) stacks [L, B, T, KH, hd] for cache prefill. kv_quant=True emits
@@ -277,11 +307,11 @@ def forward_hidden(
 
     def layer(carry, xs):
         x = carry
-        lp, lora_lp = xs
+        lp, lora_lp, ppkv = xs
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
         attn_out, k, v = _attention_block(
             cfg, lp, lora_lp, lora_scale, h, cos, sin, kv_lens, use_pallas,
-            trainable,
+            trainable, prefix_pkv=ppkv,
         )
         x = x + attn_out
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
@@ -300,17 +330,30 @@ def forward_hidden(
         layer = jax.checkpoint(layer)
 
     lora_layers = lora["layers"] if lora is not None else None
-    xs = (params["layers"], lora_layers)
-    if lora_layers is None:
-        # scan needs matching pytree structure; use per-layer None via length
-        xs = (params["layers"], None)
-
-        def layer_no_lora(carry, lp):
-            return layer(carry, (lp, None))
-
-        hidden, kv = jax.lax.scan(layer_no_lora, embeds, params["layers"])
+    # scan xs must share pytree structure per element: build per-case
+    # adapters instead of threading Nones through the scanned arrays
+    if prefix_kv is None:
+        if lora_layers is None:
+            hidden, kv = jax.lax.scan(
+                lambda c, lp: layer(c, (lp, None, None)), embeds, params["layers"]
+            )
+        else:
+            hidden, kv = jax.lax.scan(
+                lambda c, xs: layer(c, (xs[0], xs[1], None)),
+                embeds, (params["layers"], lora_layers),
+            )
     else:
-        hidden, kv = jax.lax.scan(layer, embeds, xs)
+        pk_all, pv_all = prefix_kv
+        if lora_layers is None:
+            hidden, kv = jax.lax.scan(
+                lambda c, xs: layer(c, (xs[0], None, (xs[1], xs[2]))),
+                embeds, (params["layers"], pk_all, pv_all),
+            )
+        else:
+            hidden, kv = jax.lax.scan(
+                lambda c, xs: layer(c, (xs[0], xs[1], (xs[2], xs[3]))),
+                embeds, (params["layers"], lora_layers, pk_all, pv_all),
+            )
 
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     if return_kv:
@@ -445,15 +488,24 @@ def prefill_kv(
     use_pallas: Optional[bool] = None,
     kv_quant: bool = False,
     kv_slab_slots: Optional[int] = None,
+    prefix_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, Params]:
     """Prefill without a preallocated cache: returns (last-position logits,
     read-only prompt kv {"k","v"[,"k_scale","v_scale"]} [L, B, T, KH, hd]).
     kv_quant=True yields the int8 cache directly (no bf16 peak).
     kv_slab_slots=G instead returns the unified serving slab
-    {"kv", "kvsc"} of ops.decode_serve with G generation slots (s0 = T)."""
+    {"kv", "kvsc"} of ops.decode_serve with G generation slots (s0 = T).
+
+    prefix_kv: P-tuning prefix (pk, pv) [L, 1, P, KH, hd] — attended during
+    prefill and FOLDED INTO the returned cache at positions [0, P) (decode
+    must then mask with mask_lens = kv_lens + P while keeping rope positions
+    on kv_lens; see decode_step_split)."""
+    if prefix_kv is not None and kv_slab_slots is not None:
+        raise ValueError("P-tuning prefix is not supported with the serve slab")
     hidden, kv_out = forward_hidden(
         cfg, params, embeds, positions, kv_lens, lora, lora_scale, use_pallas,
         return_kv=True, kv_quant=kv_quant, kv_slab_slots=kv_slab_slots,
+        prefix_kv=prefix_kv,
     )
     if kv_lens is None:
         last = hidden[:, -1]
@@ -469,6 +521,23 @@ def prefill_kv(
     else:
         k, v = kv_out
         cache = {"k": k, "v": v}
+    if prefix_kv is not None:
+        pk_all, pv_all = prefix_kv
+        L, _, P = pk_all.shape[:3]
+        B = embeds.shape[0]
+        pkb = jnp.broadcast_to(pk_all, (L, B) + pk_all.shape[2:]).astype(embeds.dtype)
+        pvb = jnp.broadcast_to(pv_all, (L, B) + pv_all.shape[2:]).astype(embeds.dtype)
+        if kv_quant:
+            pq = quantize_prompt_kv({"k": pkb, "v": pvb})
+            cache = {
+                name: jnp.concatenate([pq[name], cache[name]], axis=2)
+                for name in ("k", "k_scale", "v", "v_scale")
+            }
+        else:
+            cache = {
+                "k": jnp.concatenate([pkb, cache["k"]], axis=2),
+                "v": jnp.concatenate([pvb, cache["v"]], axis=2),
+            }
     return logits_from_hidden(params, last), cache
 
 
@@ -517,6 +586,7 @@ def decode_step_split(
     gen_cache: Params,
     step: jnp.ndarray,
     token_embeds: jnp.ndarray,
+    mask_lens: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Params]:
     """One decode step with a split KV layout.
 
@@ -527,6 +597,11 @@ def decode_step_split(
     Softmax over [prompt | generated] uses a two-piece max-merged softmax.
     With a quantized prompt cache, the big contractions optionally run
     int8 x int8 on the MXU (see _attn8_enabled).
+
+    mask_lens: per-row count of VALID cache positions when it differs from
+    the rope position base (a P-tuning prefix folded at cache[:, :, :P]
+    means mask_lens = prompt_lens + P while rope stays on prompt_lens —
+    reference modeling_chatglm.py:1061-1062). Default: prompt_lens.
     """
     B = token_embeds.shape[0]
     H, KH, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -537,7 +612,9 @@ def decode_step_split(
     positions = (prompt_lens + step)[:, None]  # [B, 1]
     cos, sin = rope_angles(positions, _rotary_dim(cfg), cfg.rope_theta)
 
-    prompt_mask = jnp.arange(S)[None, :] < prompt_lens[:, None]   # [B, S]
+    if mask_lens is None:
+        mask_lens = prompt_lens
+    prompt_mask = jnp.arange(S)[None, :] < mask_lens[:, None]     # [B, S]
     gen_mask = jnp.arange(G)[None, :] <= step                     # [1->B, G]
     gen_mask = jnp.broadcast_to(gen_mask, (B, G))
 
