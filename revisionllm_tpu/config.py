@@ -85,6 +85,14 @@ class AdapterConfig:
     hierarchy: bool = True           # CLS-token output (1 token per window)
     feature_mode: str = "cls"        # cls | temporal | alternate | all
     dropout: float = 0.1
+    # CrossLayer self-attention variants (reference adapter/cross_attn.py:99-130):
+    # None | 'performer' (FAVOR+) | 'linformer' (k=256, one shared kv head)
+    # | 'self-attn' (exact MHA); sa_pos 1 = before cross-attn, 2 = after.
+    ca_self_attn: Optional[str] = None
+    sa_pos: int = 2
+    linformer_k: int = 256
+    max_video_length: int = 512      # linformer projection rows
+    performer_nb_features: int = 0   # 0 -> int(hd * ln(hd)), the lib default
 
     def with_hidden(self, hidden_size: int) -> "AdapterConfig":
         return dataclasses.replace(self, hidden_size=hidden_size)

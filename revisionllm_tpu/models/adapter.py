@@ -89,11 +89,78 @@ def init_adapter_params(cfg: AdapterConfig, key: jax.Array, dtype=jnp.float32) -
             _init_encoder_layer(ks[2 + cfg.num_layers + i], d, cfg.ffn_dim, dtype)
             for i in range(cfg.num_layers)
         ]
+        if cfg.ca_self_attn:
+            for i, layer in enumerate(params["t2v_layers"]):
+                layer["sa"] = _init_ca_self_attn(
+                    cfg, jax.random.fold_in(key, 1000 + i), d, dtype
+                )
     if cfg.cross_attn:
         params["text_proj"] = _init_linear(ks[-2], cfg.d_model, cfg.hidden_size, dtype)
     else:
         params["mm_projector"] = _init_linear(ks[-1], d, cfg.hidden_size, dtype)
     return params
+
+
+def _init_ca_self_attn(cfg: AdapterConfig, key, d, dtype):
+    """CrossLayer self-attention variant parameters (reference
+    adapter/cross_attn.py:109-117): performer / linformer / exact MHA, each
+    with its own residual LayerNorm (reference norm1)."""
+    import math as _math
+
+    from revisionllm_tpu.ops.linear_attention import orthogonal_gaussian
+
+    ks = jax.random.split(key, 5)
+    hd = d // cfg.num_heads
+    sa = {
+        "wq": _init_linear(ks[0], d, d, dtype),
+        "wo": _init_linear(ks[3], d, d, dtype),
+        "norm_w": jnp.ones((d,), dtype),
+        "norm_b": jnp.zeros((d,), dtype),
+    }
+    if cfg.ca_self_attn == "linformer":
+        # one_kv_head + share_kv (the reference call, cross_attn.py:114)
+        sa["wkv"] = _init_linear(ks[1], d, hd, dtype)
+        sa["e_proj"] = (
+            jax.random.normal(ks[2], (cfg.max_video_length, cfg.linformer_k))
+            / _math.sqrt(cfg.linformer_k)
+        ).astype(dtype)
+    else:
+        sa["wk"] = _init_linear(ks[1], d, d, dtype)
+        sa["wv"] = _init_linear(ks[2], d, d, dtype)
+    if cfg.ca_self_attn == "performer":
+        m = cfg.performer_nb_features or int(hd * _math.log(hd))
+        # FAVOR+ random features: a fixed buffer, not a trainable weight
+        # (stop_gradient applied at use; the reference redraws it periodically)
+        sa["features"] = orthogonal_gaussian(ks[4], hd, m)
+    return sa
+
+
+def _apply_ca_self_attn(cfg: AdapterConfig, layer, src, video_length,
+                        dropout, deterministic, rng):
+    """video = norm1(video + dropout(self_attn(video))) on the video block
+    (reference cross_attn.py:120-127), CLS + text pass through."""
+    from revisionllm_tpu.ops.linear_attention import (
+        linformer_self_attention,
+        performer_self_attention,
+    )
+
+    sa = layer["sa"]
+    video = src[:, 1 : video_length + 1]
+    if cfg.ca_self_attn == "performer":
+        attn = performer_self_attention(
+            sa, video, cfg.num_heads, jax.lax.stop_gradient(sa["features"])
+        )
+    elif cfg.ca_self_attn == "linformer":
+        attn = linformer_self_attention(sa, video, cfg.num_heads, sa["e_proj"])
+    else:  # 'self-attn': exact MHA (cross_attn.py:116-117)
+        attn, rng = _mha(sa, video, video, video, None, cfg.num_heads,
+                         dropout, deterministic, rng)
+    attn, rng = _dropout(attn, dropout, deterministic, rng)
+    video = layer_norm(video + attn, sa["norm_w"], sa["norm_b"])
+    out = jnp.concatenate(
+        [src[:, :1], video, src[:, video_length + 1 :]], axis=1
+    )
+    return out, rng
 
 
 def _linear(p, x):
@@ -216,10 +283,20 @@ def clip_encoder_forward(
         pos_t2v = jnp.concatenate([pos_embed, text_pos], axis=1)
         video_length = T
         for layer in params["t2v_layers"]:
+            if cfg.ca_self_attn and cfg.sa_pos == 1:
+                src_t2v, rng = _apply_ca_self_attn(
+                    cfg, layer, src_t2v, video_length, cfg.dropout,
+                    deterministic, rng,
+                )
             src_t2v, rng = _t2v_layer(
                 layer, src_t2v, pos_t2v, video_length, text_valid.astype(bool),
                 cfg.num_heads, cfg.dropout, deterministic, rng,
             )
+            if cfg.ca_self_attn and cfg.sa_pos == 2:
+                src_t2v, rng = _apply_ca_self_attn(
+                    cfg, layer, src_t2v, video_length, cfg.dropout,
+                    deterministic, rng,
+                )
         src = src_t2v[:, : video_length + 1]
 
     for layer in params["enc_layers"]:

@@ -1,0 +1,163 @@
+"""Sub-quadratic self-attention variants (reference adapter/cross_attn.py
+CrossLayer self_attn options: performer / linformer / self-attn)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from revisionllm_tpu.config import AdapterConfig
+from revisionllm_tpu.models import adapter
+from revisionllm_tpu.ops.linear_attention import (
+    linformer_self_attention,
+    orthogonal_gaussian,
+    performer_features,
+    performer_self_attention,
+)
+
+
+def _identity_sa(d, hd=None, seed=0):
+    """Projection-free layer params (identity wq/wk/wv/wo) so the attention
+    math can be checked against a direct softmax reference."""
+    eye = {"w": jnp.eye(d), "b": jnp.zeros((d,))}
+    return {"wq": dict(eye), "wk": dict(eye), "wv": dict(eye), "wo": dict(eye)}
+
+
+class TestPerformer:
+    def test_orthogonal_features_shape(self):
+        w = orthogonal_gaussian(jax.random.PRNGKey(0), 16, 40)
+        assert w.shape == (16, 40)
+        # first block has orthogonal directions
+        wn = np.asarray(w[:, :16] / np.linalg.norm(np.asarray(w[:, :16]), axis=0))
+        np.testing.assert_allclose(wn.T @ wn, np.eye(16), atol=1e-5)
+
+    def test_features_positive(self):
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 5, 4, 16)),
+                        jnp.float32)
+        w = orthogonal_gaussian(jax.random.PRNGKey(1), 16, 64)
+        phi = performer_features(x, w, is_query=True)
+        assert (np.asarray(phi) > 0).all()
+
+    def test_approximates_softmax_attention(self):
+        """With many random features, FAVOR+ must track exact softmax
+        attention closely on small-norm inputs (the regime of the bound)."""
+        rng = np.random.default_rng(3)
+        B, L, H, hd = 2, 12, 2, 8
+        d = H * hd
+        x = jnp.asarray(0.3 * rng.normal(size=(B, L, d)), jnp.float32)
+        layer = _identity_sa(d)
+        proj = orthogonal_gaussian(jax.random.PRNGKey(7), hd, 2048)
+        got = np.asarray(performer_self_attention(layer, x, H, proj))
+
+        # exact reference with the same scaling (q,k scaled by hd^-0.25 each)
+        q = np.asarray(x).reshape(B, L, H, hd)
+        s = np.einsum("blhd,bmhd->bhlm", q, q) / np.sqrt(hd)
+        p = jax.nn.softmax(jnp.asarray(s), axis=-1)
+        want = np.einsum("bhlm,bmhd->blhd", np.asarray(p),
+                         np.asarray(x).reshape(B, L, H, hd)).reshape(B, L, d)
+        err = np.abs(got - want).mean() / (np.abs(want).mean() + 1e-9)
+        assert err < 0.15, err
+
+    def test_mask_drops_padded_keys(self):
+        rng = np.random.default_rng(4)
+        B, L, H, hd = 1, 6, 2, 8
+        d = H * hd
+        x = jnp.asarray(rng.normal(size=(B, L, d)), jnp.float32)
+        layer = _identity_sa(d)
+        proj = orthogonal_gaussian(jax.random.PRNGKey(8), hd, 256)
+        valid = jnp.asarray([[1, 1, 1, 1, 0, 0]], bool)
+        out_masked = performer_self_attention(layer, x, H, proj, valid=valid)
+        x2 = x.at[:, 4:].set(123.0)  # junk in padded slots must not matter
+        out_masked2 = performer_self_attention(layer, x2, H, proj, valid=valid)
+        np.testing.assert_allclose(
+            np.asarray(out_masked[:, :4]), np.asarray(out_masked2[:, :4]),
+            rtol=1e-4, atol=1e-4,
+        )
+
+
+class TestLinformer:
+    def test_shapes_and_shared_kv(self):
+        rng = np.random.default_rng(5)
+        B, L, H, hd = 2, 10, 4, 8
+        d = H * hd
+        x = jnp.asarray(rng.normal(size=(B, L, d)), jnp.float32)
+        layer = {
+            "wq": {"w": jnp.eye(d), "b": jnp.zeros((d,))},
+            "wkv": {"w": jnp.asarray(rng.normal(size=(d, hd)), jnp.float32),
+                     "b": jnp.zeros((hd,))},
+            "wo": {"w": jnp.eye(d), "b": jnp.zeros((d,))},
+        }
+        e = jnp.asarray(rng.normal(size=(32, 6)), jnp.float32)
+        out = linformer_self_attention(layer, x, H, e)
+        assert out.shape == (B, L, d)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_full_rank_projection_recovers_attention(self):
+        """With e_proj = identity (k = L), linformer == exact single-kv-head
+        attention — the compression is the only approximation."""
+        rng = np.random.default_rng(6)
+        B, L, H, hd = 1, 8, 2, 8
+        d = H * hd
+        x = jnp.asarray(rng.normal(size=(B, L, d)), jnp.float32)
+        wkv = jnp.asarray(rng.normal(size=(d, hd)), jnp.float32)
+        layer = {
+            "wq": {"w": jnp.eye(d), "b": jnp.zeros((d,))},
+            "wkv": {"w": wkv, "b": jnp.zeros((hd,))},
+            "wo": {"w": jnp.eye(d), "b": jnp.zeros((d,))},
+        }
+        out = linformer_self_attention(layer, x, H, jnp.eye(L))
+        q = np.asarray(x).reshape(B, L, H, hd)
+        kv = np.asarray(x @ wkv)  # [B, L, hd]
+        s = np.einsum("blhd,bmd->bhlm", q, kv) / np.sqrt(hd)
+        p = np.asarray(jax.nn.softmax(jnp.asarray(s), -1))
+        want = np.einsum("bhlm,bmd->blhd", p, kv).reshape(B, L, d)
+        np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-4)
+
+
+class TestAdapterIntegration:
+    @pytest.mark.parametrize("kind", ["performer", "linformer", "self-attn"])
+    @pytest.mark.parametrize("sa_pos", [1, 2])
+    def test_forward_runs_and_differs(self, kind, sa_pos):
+        cfg = AdapterConfig(
+            d_model=32, num_heads=4, num_layers=2, ffn_dim=64, hidden_size=48,
+            clip_adapter_text=True, hierarchy=False, feature_mode="temporal",
+            ca_self_attn=kind, sa_pos=sa_pos, linformer_k=8,
+            max_video_length=64, performer_nb_features=64,
+        )
+        base = AdapterConfig(**{**cfg.__dict__, "ca_self_attn": None})
+        params = adapter.init_adapter_params(cfg, jax.random.PRNGKey(0))
+        assert "sa" in params["t2v_layers"][0]
+        rng = np.random.default_rng(7)
+        video = jnp.asarray(rng.normal(size=(2, 9, 32)), jnp.float32)
+        text = jnp.asarray(rng.normal(size=(2, 5, 32)), jnp.float32)
+        out = adapter.clip_encoder_forward(cfg, params, video, text)
+        assert out.shape == (2, 9, 48)
+        assert np.isfinite(np.asarray(out)).all()
+        # the variant must change the output vs plain cross-attn on the
+        # SAME shared weights
+        plain = {**params, "t2v_layers": [
+            {k: v for k, v in l.items() if k != "sa"}
+            for l in params["t2v_layers"]
+        ]}
+        out_plain = adapter.clip_encoder_forward(base, plain, video, text)
+        assert not np.allclose(np.asarray(out), np.asarray(out_plain))
+
+    def test_performer_features_not_trained(self):
+        cfg = AdapterConfig(
+            d_model=32, num_heads=4, num_layers=1, ffn_dim=64, hidden_size=48,
+            clip_adapter_text=True, hierarchy=False, feature_mode="temporal",
+            ca_self_attn="performer", performer_nb_features=32,
+        )
+        params = adapter.init_adapter_params(cfg, jax.random.PRNGKey(0))
+        rng = np.random.default_rng(8)
+        video = jnp.asarray(rng.normal(size=(1, 6, 32)), jnp.float32)
+        text = jnp.asarray(rng.normal(size=(1, 4, 32)), jnp.float32)
+
+        def loss(p):
+            return jnp.sum(adapter.clip_encoder_forward(cfg, p, video, text) ** 2)
+
+        g = jax.grad(loss)(params)
+        feat_g = np.asarray(g["t2v_layers"][0]["sa"]["features"])
+        np.testing.assert_allclose(feat_g, 0.0)
+        # ...but the variant's projections DO train
+        assert np.abs(np.asarray(g["t2v_layers"][0]["sa"]["wq"]["w"])).max() > 0
