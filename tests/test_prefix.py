@@ -274,3 +274,74 @@ class TestPrefixConversion:
 
         g = jax.grad(loss)(pparams)
         assert np.abs(np.asarray(g["embed"])).max() > 0
+
+
+class TestPrefixGlmConfig:
+    """P-tuning on a GLM-shaped backbone (MQA, qkv bias, half-dim
+    interleaved rotary) — the config family whose reference actually
+    carries the PrefixEncoder."""
+
+    def _glm_tiny(self):
+        return LlamaConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=96,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+            rope_fraction=0.5, rope_interleaved=True, qkv_bias=True,
+            dtype="float32", max_position_embeddings=256,
+        )
+
+    def test_teacher_forcing_consistency_glm(self):
+        cfg = self._glm_tiny()
+        params = llama.init_params(cfg, jax.random.PRNGKey(3), jnp.float32)
+        pparams = init_prefix_params(cfg, pre_seq_len=4, rng=jax.random.PRNGKey(4))
+        pkv = prefix_kv(cfg, pparams)
+        P = pkv[0].shape[2]
+        B, T = 2, 7
+        rng = np.random.default_rng(10)
+        ids = jnp.asarray(rng.integers(5, cfg.vocab_size, (B, T + 1)), jnp.int32)
+        embeds = llama.embed_tokens(params, ids).astype(jnp.float32)
+        positions = jnp.arange(T + 1)[None, :].repeat(B, 0)
+        kv_lens = jnp.full((B,), T, jnp.int32)
+
+        hidden = llama.forward_hidden(cfg, params, embeds, positions, prefix_kv=pkv)
+        want = llama.logits_from_hidden(params, hidden[:, T])
+
+        _, cache = llama.prefill_kv(
+            cfg, params, embeds[:, :T], positions[:, :T], kv_lens=kv_lens,
+            prefix_kv=pkv,
+        )
+        gen_cache = {
+            "k": jnp.zeros((cfg.num_layers, B, 3, cfg.num_kv_heads, cfg.head_dim),
+                           jnp.float32),
+            "v": jnp.zeros((cfg.num_layers, B, 3, cfg.num_kv_heads, cfg.head_dim),
+                           jnp.float32),
+        }
+        got, _ = llama.decode_step_split(
+            cfg, params, cache, kv_lens, gen_cache, jnp.asarray(0, jnp.int32),
+            embeds[:, T : T + 1], mask_lens=kv_lens + P,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
+
+    def test_converted_prefix_drives_generate(self):
+        """prefix params straight from convert_chatglm output shape ->
+        generate() runs on the GLM-shaped config."""
+        from revisionllm_tpu.models import generation
+
+        cfg = self._glm_tiny()
+        params = llama.init_params(cfg, jax.random.PRNGKey(5), jnp.float32)
+        kv_size = cfg.num_layers * 2 * cfg.num_kv_heads * cfg.head_dim
+        prefix = {"embed": jnp.asarray(
+            0.1 * np.random.default_rng(6).normal(size=(3, kv_size)), jnp.float32)}
+        pkv = prefix_kv(cfg, prefix)
+        B, T = 2, 6
+        rng = np.random.default_rng(12)
+        ids = jnp.asarray(rng.integers(5, cfg.vocab_size, (B, T)), jnp.int32)
+        embeds = llama.embed_tokens(params, ids).astype(jnp.float32)
+        positions = jnp.arange(T)[None, :].repeat(B, 0)
+        out = generation.generate(
+            cfg, params, embeds, positions, jnp.full((B,), T, jnp.int32),
+            eos_id=2, max_new_tokens=3, prefix_kv=pkv,
+        )
+        assert out["tokens"].shape == (B, 3)
+        assert np.isfinite(np.asarray(out["entropy"])).all()
