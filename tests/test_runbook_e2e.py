@@ -220,3 +220,33 @@ class TestLoaderServingQuant:
         )
         engine = build_engine_from_args(args)
         assert not isinstance(engine.params["layers"]["q_proj"], dict)
+
+
+class TestLoaderServingLayout:
+    def test_loader_packs_serving_layout(self, hf_dir, artifacts, monkeypatch):
+        """REVISIONLLM_SERVE=1 (with int8) packs layer weights into the
+        contiguous serving-chunk layout in host RAM; prefill consumes the
+        pack through q8_apply's chunked dispatch, so the engine stays
+        usable even where the serve decode kernel is gated off (CPU)."""
+        import argparse
+
+        import numpy as np
+
+        monkeypatch.setenv("REVISIONLLM_QUANT", "int8")
+        monkeypatch.setenv("REVISIONLLM_SERVE", "1")
+        from revisionllm_tpu.eval.loader import build_engine_from_args
+
+        args = argparse.Namespace(
+            model_base=hf_dir, stage2=artifacts["stage1"],
+            pretrain_clip_adapter=None, pretrain_mm_mlp_adapter=None,
+            stage3=None, clip_adapter=False, clip_adapter_text=False,
+            hierarchy=False, debug_window=20, num_frames=16, feature_fps=2.0,
+            batch=4, stride=2, split=0, total_split=1, max_new_tokens=4,
+        )
+        engine = build_engine_from_args(args)
+        w = engine.params["layers"]["q_proj"]
+        assert isinstance(w, dict) and "q8c" in w
+        assert np.asarray(w["q8c"]).dtype == np.int8
+        assert "q8r" in engine.params["layers"]["down_proj"]
+        # the packed pytree replaced the standard tree — no [L, D, N] copy
+        assert "q8" not in w
