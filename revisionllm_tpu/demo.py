@@ -146,6 +146,9 @@ def main(argv=None):
     p.add_argument("--web", action="store_true",
                    help="stdlib web UI with token streaming (no gradio needed)")
     p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address for --web (pass 0.0.0.0 to expose; "
+                        "the endpoint accepts unauthenticated uploads)")
     args = p.parse_args(argv)
 
     from revisionllm_tpu.eval.loader import adapter_cfg_from_args
@@ -180,7 +183,7 @@ def main(argv=None):
     if args.web:
         from revisionllm_tpu.webdemo import launch_web
 
-        launch_web(make_session, port=args.port)
+        launch_web(make_session, host=args.host, port=args.port)
     elif args.gradio:
         launch_gradio(make_session)
     else:

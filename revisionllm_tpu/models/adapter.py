@@ -222,25 +222,44 @@ def _encoder_layer_post(layer, src, pos, key_valid, num_heads, dropout,
     return src, rng
 
 
-def _t2v_layer(layer, src, pos, video_length, text_valid, num_heads, dropout,
-               deterministic, rng):
-    """Text->video cross-attention layer (reference T2V forward_post :271-305):
-    queries = video frames (pos-added), keys/values = text tokens; the global
-    CLS token and the text block pass through unchanged."""
+def _t2v_cross_part(layer, src, pos, video_length, text_valid, num_heads,
+                    dropout, deterministic, rng):
+    """Cross-attention half of the T2V layer (reference T2V forward_post
+    :271-300 up to the residual add): queries = video frames (pos-added),
+    keys/values = text tokens. Returns src with the video block replaced by
+    the post-cross-attn residual (pre-FFN state); CLS + text pass through."""
     pos_src = src + pos
-    glob = src[:, :1]
     q = pos_src[:, 1 : video_length + 1]
     k = pos_src[:, video_length + 1 :]
     v = src[:, video_length + 1 :]
     attn, rng = _mha(layer, q, k, v, text_valid, num_heads, dropout, deterministic, rng)
     attn, rng = _dropout(attn, dropout, deterministic, rng)
     src2 = src[:, 1 : video_length + 1] + attn
+    return jnp.concatenate(
+        [src[:, :1], src2, src[:, video_length + 1 :]], axis=1
+    ), rng
+
+
+def _t2v_ffn_part(layer, src, video_length, dropout, deterministic, rng):
+    """FFN half of the T2V layer (reference T2V forward_post :301-305):
+    norm1 -> FFN -> residual -> norm2 on the video block."""
+    src2 = src[:, 1 : video_length + 1]
     src3 = layer_norm(src2, layer["norm1_w"], layer["norm1_b"])
     ff, rng = _ffn(layer, src3, dropout, deterministic, rng)
     ff, rng = _dropout(ff, dropout, deterministic, rng)
     src2 = src2 + ff
     src2 = layer_norm(src2, layer["norm2_w"], layer["norm2_b"])
-    return jnp.concatenate([glob, src2, src[:, video_length + 1 :]], axis=1), rng
+    return jnp.concatenate(
+        [src[:, :1], src2, src[:, video_length + 1 :]], axis=1
+    ), rng
+
+
+def _t2v_layer(layer, src, pos, video_length, text_valid, num_heads, dropout,
+               deterministic, rng):
+    """Full T2V layer = cross-attn part + FFN part (no self-attn insert)."""
+    src, rng = _t2v_cross_part(layer, src, pos, video_length, text_valid,
+                               num_heads, dropout, deterministic, rng)
+    return _t2v_ffn_part(layer, src, video_length, dropout, deterministic, rng)
 
 
 def clip_encoder_forward(
@@ -283,12 +302,15 @@ def clip_encoder_forward(
         pos_t2v = jnp.concatenate([pos_embed, text_pos], axis=1)
         video_length = T
         for layer in params["t2v_layers"]:
+            # Self-attn insertion points match reference CrossLayer.forward
+            # (cross_attn.py:120-130): sa_pos=1 before cross-attn, sa_pos=2
+            # between cross-attn and feed-forward — the FFN always runs last.
             if cfg.ca_self_attn and cfg.sa_pos == 1:
                 src_t2v, rng = _apply_ca_self_attn(
                     cfg, layer, src_t2v, video_length, cfg.dropout,
                     deterministic, rng,
                 )
-            src_t2v, rng = _t2v_layer(
+            src_t2v, rng = _t2v_cross_part(
                 layer, src_t2v, pos_t2v, video_length, text_valid.astype(bool),
                 cfg.num_heads, cfg.dropout, deterministic, rng,
             )
@@ -297,6 +319,9 @@ def clip_encoder_forward(
                     cfg, layer, src_t2v, video_length, cfg.dropout,
                     deterministic, rng,
                 )
+            src_t2v, rng = _t2v_ffn_part(
+                layer, src_t2v, video_length, cfg.dropout, deterministic, rng,
+            )
         src = src_t2v[:, : video_length + 1]
 
     for layer in params["enc_layers"]:

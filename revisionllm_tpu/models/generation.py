@@ -141,7 +141,9 @@ def generate(
         and DSV.supports_serve(cfg, params)
     )
     ptuning_len = 0 if prefix_kv is None else int(prefix_kv[0].shape[2])
-    if prefix_kv is not None and shared_prefix_len > 1:
+    if prefix_kv is not None and shared_prefix_len > 1 and B > 1:
+        # Only the B>1 shared-prefix prefill branch lacks prefix_kv support;
+        # a B==1 caller takes the normal prefill below, which handles it.
         raise ValueError("P-tuning prefix + shared-prefix prefill unsupported")
     if shared_prefix_len > 1 and B > 1:
         first_logits, prompt_kv = llama.prefill_shared_prefix(

@@ -198,7 +198,15 @@ def supports_serve(cfg, params_or_packed) -> bool:
         return False
     lp = params_or_packed.get("layers", params_or_packed)
     qp = lp.get("q_proj")
-    return isinstance(qp, dict) and ("q8c" in qp or "q8" in qp)
+    if not (isinstance(qp, dict) and ("q8c" in qp or "q8" in qp)):
+        return False
+    # consume_qkv writes q/k/v/o into a [B, D] buffer in block_n chunks:
+    # D must tile exactly (Np == N), or the last chunk writes out of range.
+    if "q8c" in qp:
+        _, ncD, D, BN = qp["q8c"].shape
+        if ncD * BN != D:
+            return False
+    return True
 
 
 def _chunks(N: int, BN: int):
@@ -491,6 +499,11 @@ def decode_step_serve(
     s0 + step)."""
     wq = packed["q_proj"]["q8c"]
     L, ncD, D, BN = wq.shape
+    if ncD * BN != D:
+        raise ValueError(
+            f"decode_step_serve: hidden size {D} not a multiple of block_n "
+            f"{BN} — consume_qkv would write out of range (use the scan path)"
+        )
     _, ncF, _, _ = packed["gate_proj"]["q8c"].shape
     _, ncfd, BF, _ = packed["down_proj"]["q8r"].shape
     Fp = ncF * BN

@@ -295,7 +295,10 @@ def attention(
         B, T, H, _ = q.shape
         S = k.shape[1]
         if B * H * T * S * 4 > _EINSUM_SCORES_BYTES_MAX:
-            bq = min(-(-T // 8) * 8, 512)
+            # flash_attention clamps block_q to T, so an 8-aligned round-up
+            # here would be dead; one block spanning the whole (possibly
+            # unaligned) sequence is the measured-fastest config at this size
+            bq = min(T, 512)
             bk = min(-(-S // 128) * 128, 512)
             return flash_attention(
                 q, k, v, causal=causal, kv_lens=kv_lens, sm_scale=sm_scale,

@@ -188,5 +188,8 @@ class DemoServer:
         self._httpd.server_close()
 
 
-def launch_web(make_session, host: str = "0.0.0.0", port: int = 7860):
+def launch_web(make_session, host: str = "127.0.0.1", port: int = 7860):
+    """Serve the demo. Defaults to loopback — the endpoint accepts arbitrary
+    uploads with no auth, so exposing it externally requires an explicit
+    host (e.g. launch_web(..., host="0.0.0.0"))."""
     DemoServer(make_session, host=host, port=port).serve_forever()

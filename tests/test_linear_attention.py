@@ -142,6 +142,50 @@ class TestAdapterIntegration:
         out_plain = adapter.clip_encoder_forward(base, plain, video, text)
         assert not np.allclose(np.asarray(out), np.asarray(out_plain))
 
+    def test_sa_pos2_runs_between_cross_attn_and_ffn(self):
+        """sa_pos=2 ordering parity with reference CrossLayer.forward
+        (cross_attn.py:123-130): cross-attn -> self-attn -> FFN, the FFN
+        always last. Composes the layer manually from the split halves and
+        checks clip_encoder_forward wires them in that order."""
+        cfg = AdapterConfig(
+            d_model=32, num_heads=4, num_layers=1, ffn_dim=64, hidden_size=48,
+            clip_adapter_text=True, hierarchy=False, feature_mode="temporal",
+            ca_self_attn="self-attn", sa_pos=2, max_video_length=64,
+        )
+        params = adapter.init_adapter_params(cfg, jax.random.PRNGKey(3))
+        rng = np.random.default_rng(11)
+        video = jnp.asarray(rng.normal(size=(2, 7, 32)), jnp.float32)
+        text = jnp.asarray(rng.normal(size=(2, 4, 32)), jnp.float32)
+        got = adapter.clip_encoder_forward(cfg, params, video, text)
+
+        # manual composition: pos/CLS assembly as in clip_encoder_forward,
+        # then cross_part -> ca_self_attn -> ffn_part -> encoder layers
+        B, T, d = video.shape
+        frame_valid = jnp.ones((B, T), dtype=jnp.float32)
+        pos = adapter.sine_positions(frame_valid, d)
+        glob = jnp.broadcast_to(params["global_token"][None, None, :], (B, 1, d))
+        glob_pos = jnp.broadcast_to(params["global_pos"][None, None, :], (B, 1, d))
+        src = jnp.concatenate([glob, video], axis=1)
+        pos_embed = jnp.concatenate([glob_pos, pos], axis=1)
+        text_valid = jnp.ones(text.shape[:2], dtype=bool)
+        src_t2v = jnp.concatenate([src, text], axis=1)
+        pos_t2v = jnp.concatenate([pos_embed, jnp.zeros_like(text)], axis=1)
+        r = jax.random.PRNGKey(0)
+        layer = params["t2v_layers"][0]
+        src_t2v, r = adapter._t2v_cross_part(
+            layer, src_t2v, pos_t2v, T, text_valid, cfg.num_heads, 0.0, True, r)
+        src_t2v, r = adapter._apply_ca_self_attn(
+            cfg, layer, src_t2v, T, 0.0, True, r)
+        src_t2v, r = adapter._t2v_ffn_part(layer, src_t2v, T, 0.0, True, r)
+        src = src_t2v[:, : T + 1]
+        valid = jnp.ones((B, 1 + T), dtype=bool)
+        for enc in params["enc_layers"]:
+            src, r = adapter._encoder_layer_post(
+                enc, src, pos_embed, valid, cfg.num_heads, 0.0, True, r)
+        want = src[:, 1:] @ params["mm_projector"]["w"] + params["mm_projector"]["b"]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
     def test_performer_features_not_trained(self):
         cfg = AdapterConfig(
             d_model=32, num_heads=4, num_layers=1, ffn_dim=64, hidden_size=48,
