@@ -309,7 +309,10 @@ def eval_dvc(
             b = r = mt = cider = 0.0
         metrics["BLEU4"] += b / len(tious)
         metrics["ROUGE_L"] += r / len(tious)
-        metrics["METEOR"] += mt / len(tious)
+        # key marks the documented approximation: exact+Porter-stem stages
+        # only, no WordNet synonymy/paraphrase — numbers will NOT match
+        # pycocoevalcap's Java meteor-1.5 exactly (see `meteor` docstring)
+        metrics["METEOR_approx"] += mt / len(tious)
         metrics["CIDEr"] += cider / len(tious)
         metrics["Recall"] += (recall_hits / max(total_gt, 1)) / len(tious)
         metrics["Precision"] += (prec_hits / max(total_pred, 1)) / len(tious)

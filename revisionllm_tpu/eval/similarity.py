@@ -8,6 +8,8 @@ loop over proposals.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -64,11 +66,26 @@ def proposal_cosine_scores(
     pool with k = min(len, 3), einsum with query_cls, .item()).
 
     The reference normalizes each proposal with `norm(dim=0)` (per-feature
-    across frames); here we use the mathematically intended per-frame L2 norm,
-    masked to valid frames, and restrict the top-k to valid frames by masking
-    sims to -inf.
+    across frames, eval_nlq_negative.py:311-312); here we default to the
+    mathematically intended per-frame L2 norm, masked to valid frames, and
+    restrict the top-k to valid frames by masking sims to -inf.
+
+    Set REVISIONLLM_EXACT_COSINE=1 to reproduce the reference quirk
+    bit-for-bit (per-feature norm across frames) for A/B against reference
+    score_cos logs; zero-padded rows contribute nothing to a dim=0 norm, so
+    the fixed-shape vmapped form matches the reference's variable-length
+    slices exactly.
     """
-    normed = l2_normalize(frames, axis=-1, eps=1e-8)
+    if os.environ.get("REVISIONLLM_EXACT_COSINE", "0") == "1":
+        # proposal_feat / proposal_feat.norm(dim=0, keepdim=True): one norm
+        # per feature over the frame axis. Padded rows are zero, so they
+        # neither change the norms nor (being zero after division) the top-k
+        # sums. The reference has no eps; the clamp only guards an
+        # all-zero feature column, where torch would emit nan.
+        colnorm = jnp.sqrt(jnp.sum(frames * frames, axis=0, keepdims=True))
+        normed = frames / jnp.maximum(colnorm, 1e-12)
+    else:
+        normed = l2_normalize(frames, axis=-1, eps=1e-8)
     sims = normed @ query_cls  # [max_len]
     sims = jnp.where(frame_valid, sims, jnp.finfo(sims.dtype).min)
     _, idx = jax.lax.top_k(sims, k)

@@ -91,3 +91,36 @@ class TestSimilarity:
         valid = jnp.array([True, False, False, False])
         score = float(proposal_cosine_scores(q, frames, valid, k=3))
         assert score == pytest.approx(1.0, rel=1e-5)
+
+    @pytest.mark.parametrize("n_frames", [1, 2, 3, 8])
+    def test_exact_cosine_quirk_matches_reference_math(self, n_frames, monkeypatch):
+        """REVISIONLLM_EXACT_COSINE=1 reproduces eval_nlq_negative.py:311-314:
+        per-feature norm(dim=0) across frames, top-min(n,3) pool (sum), dot
+        with the query — on the zero-padded fixed-shape inputs the engine
+        feeds. The default (per-frame norm) must differ for n>1."""
+        rng = np.random.default_rng(17)
+        d, max_len = 12, 8
+        qv = rng.normal(size=(d,)).astype(np.float32)
+        qv /= np.linalg.norm(qv)
+        fr = np.zeros((max_len, d), np.float32)
+        fr[:n_frames] = rng.normal(size=(n_frames, d)).astype(np.float32)
+        valid = np.arange(max_len) < n_frames
+
+        # reference transcription on the unpadded slice
+        prop = fr[:n_frames]
+        normed = prop / np.linalg.norm(prop, axis=0, keepdims=True)
+        sims = normed @ qv
+        k = min(n_frames, 3)
+        top = np.sort(np.argsort(-sims)[:k])
+        want = float(normed[top].sum(axis=0) @ qv)
+
+        monkeypatch.setenv("REVISIONLLM_EXACT_COSINE", "1")
+        got = float(proposal_cosine_scores(
+            jnp.asarray(qv), jnp.asarray(fr), jnp.asarray(valid), k=3))
+        assert got == pytest.approx(want, rel=1e-5, abs=1e-6)
+
+        monkeypatch.delenv("REVISIONLLM_EXACT_COSINE")
+        default = float(proposal_cosine_scores(
+            jnp.asarray(qv), jnp.asarray(fr), jnp.asarray(valid), k=3))
+        if n_frames > 1:
+            assert default != pytest.approx(want, rel=1e-5)
