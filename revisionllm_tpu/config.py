@@ -316,8 +316,35 @@ def _preset_stage1_stream() -> WorkloadConfig:
     )
 
 
+def _preset_synthetic_tiny() -> WorkloadConfig:
+    """Tiny synthetic-grounding sanity workload (data/synthetic.py): the
+    stage-1 dense recipe scaled down so the full train->export->eval chain
+    demonstrably LEARNS localization above chance. No reference counterpart;
+    the pipeline shape mirrors scripts/mad/stage1_dense.sh."""
+    return WorkloadConfig(
+        name="synthetic_tiny",
+        model=LlamaConfig(dtype="float32"),  # tiny scale trains in f32
+        adapter=AdapterConfig(kind="mlp", d_model=16, hierarchy=False),
+        data=DataConfig(
+            num_frames=16, debug_window=16, feature_fps=1.0,
+            neg_window=True, neg_samples=1.0, max_q_l=8,
+        ),
+        train=TrainConfig(
+            training_stage=2, per_device_batch_size=8, num_epochs=20,
+            learning_rate=2e-3, model_max_length=128,
+            lora=LoraConfig(r=32, alpha=64, dropout=0.0),
+            gradient_checkpointing=False, warmup_ratio=0.05,
+        ),
+        eval=EvalConfig(
+            debug_window=16, num_frames=16, feature_fps=1.0,
+            stride=2, batch=8, max_new_tokens=8,
+        ),
+    )
+
+
 PRESETS = {
     "stage1_dense": _preset_stage1_dense,
+    "synthetic_tiny": _preset_synthetic_tiny,
     "stage1_sparse": _preset_stage1_sparse,
     "stage1_stream": _preset_stage1_stream,
     "stage2_long_33": lambda: _preset_stage2_long(33),

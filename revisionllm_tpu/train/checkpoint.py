@@ -116,7 +116,14 @@ def _export_vision(state: dict, tree: Dict[str, Any], prefix: str) -> None:
     import torch
 
     def t(x):
-        return torch.from_numpy(np.ascontiguousarray(np.asarray(x)))
+        x = np.asarray(x)
+        if x.dtype.kind not in "fiub":  # ml_dtypes.bfloat16 etc.: no torch
+            import torch as _torch      # from_numpy path — go via float32
+
+            return _torch.from_numpy(
+                np.ascontiguousarray(x.astype(np.float32))
+            ).to(_torch.bfloat16)
+        return torch.from_numpy(np.ascontiguousarray(x))
 
     if "w" in tree and "b" in tree and len(tree) == 2:  # plain mlp projector
         state[f"{prefix}.weight"] = t(np.asarray(tree["w"]).T)

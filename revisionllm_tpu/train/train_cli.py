@@ -111,7 +111,15 @@ def main(argv=None):
             convert_llama, llama_config_from_hf, load_hf_llama_state,
         )
 
-        llama_cfg = llama_config_from_hf(args.model_base)
+        # HF config supplies geometry; the preset keeps authority over the
+        # compute dtype (tiny synthetic runs train in f32, flagship in bf16)
+        llama_cfg = LlamaConfig(**{
+            **llama_config_from_hf(args.model_base).__dict__,
+            "dtype": str(dtype.name) if hasattr(dtype, "name") else llama_cfg.dtype,
+        })
+        # the projector must emit the LLM embedding dim of the ACTUAL base,
+        # not the preset's flagship geometry
+        adapter_cfg = adapter_cfg.with_hidden(llama_cfg.hidden_size)
         base = convert_llama(load_hf_llama_state(args.model_base), llama_cfg, np.float32)
         if args.quant_base:
             from revisionllm_tpu.ops.quant import quantize_llama_params_host
