@@ -216,6 +216,146 @@ def main():
             "unit": "seconds",
             "vs_baseline": round((0.28 * windows_per_query) / p50_s, 2),
         }))
+    if os.environ.get("BENCH_EMIT_E2E", "0") == "1":
+        bench_e2e(params)
+
+
+def bench_e2e(params=None):
+    """The FUSED recursive pipeline, timed as ONE run per query: stage-1
+    dense grounding over every window of a 1-hour movie -> stage-2
+    hierarchical retrieval restricted by the grounding prefilter
+    (eval_nlq_retrieval_e2e2.py:278-294) -> window-hit mapping -> fusion
+    (metric_retrieval_forward.py:107-186). Driven through the REAL
+    GroundingEngine (the same host+device path eval/stage1.py and stage2.py
+    run), not through isolated device calls; weights are zeros (timing is
+    weight-value independent) in the int8 serving layout.
+
+    Emits end_to_end_queries_per_sec_per_chip + p50 as one JSON line.
+    vs_baseline: reference runs the same recursive procedure at batch 1 per
+    A100: ~16 s stage-1 (57 windows x 0.28 s) + ~2.4 s stage-2 (6 passes,
+    ~0.4 s each) per query => ~0.0544 q/s.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from revisionllm_tpu.config import AdapterConfig, EvalConfig, LlamaConfig
+    from revisionllm_tpu.eval import metrics as M
+    from revisionllm_tpu.eval.engine import GroundingEngine
+    from revisionllm_tpu.eval.stage2 import grounding_prefilter
+    from revisionllm_tpu.models import revisionllm
+    from revisionllm_tpu.ops.windows import num_windows_strided
+    from revisionllm_tpu.utils.testing import FakeTokenizer
+
+    # engine programs persist as AOT executables (minutes to compile over
+    # the relay, ~1 s to reload)
+    os.environ.setdefault(
+        "REVISIONLLM_AOT_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".aot_cache"),
+    )
+
+    n_layers = int(os.environ.get("BENCH_LAYERS", "32"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "64"))
+    cfg = LlamaConfig(num_layers=n_layers)
+    dtype = jnp.dtype(cfg.dtype)
+    if params is None:
+        from revisionllm_tpu.models import llama as llama_mod
+        from revisionllm_tpu.ops.quant import quantize_llama_params
+
+        shapes = jax.eval_shape(
+            lambda k: quantize_llama_params(llama_mod.init_params(cfg, k, dtype)),
+            jax.random.PRNGKey(0),
+        )
+        params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+    acfg1 = AdapterConfig(
+        clip_adapter_text=True, hierarchy=False, feature_mode="temporal",
+        hidden_size=cfg.hidden_size,
+    )
+    acfg2 = AdapterConfig(
+        clip_adapter_text=True, hierarchy=True, feature_mode="cls",
+        hidden_size=cfg.hidden_size,
+    )
+    vision1 = revisionllm.init_vision_params(acfg1, jax.random.PRNGKey(1), dtype=dtype)
+    vision2 = revisionllm.init_vision_params(acfg2, jax.random.PRNGKey(2), dtype=dtype)
+    ecfg1 = EvalConfig(
+        debug_window=125, num_frames=250, feature_fps=5.0, batch=chunk,
+        stride=2, max_new_tokens=int(os.environ.get("BENCH_NEW_TOKENS", "12")),
+    )
+    s2_batch = int(os.environ.get("BENCH_S2_BATCH", "100"))
+    ecfg2 = EvalConfig(
+        debug_window=125, num_frames=250, feature_fps=5.0, batch=s2_batch,
+        stride=5, max_new_tokens=8, hierarchy_zooms=(4, 2, 1),
+    )
+    tok = FakeTokenizer()
+    # both engines share ONE base param tree on device (a second 7B int8
+    # tree would not fit next to the first + activations)
+    eng1 = GroundingEngine(cfg, acfg1, params, vision1, tok, ecfg1)
+    eng2 = GroundingEngine(cfg, acfg2, params, vision2, tok, ecfg2)
+
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(18000, 768)).astype(np.float32)  # 1 h x 5 fps
+    qf = rng.normal(size=(25, 768)).astype(np.float32)
+    qc = rng.normal(size=(768,)).astype(np.float32)
+    qc /= np.linalg.norm(qc)
+    gt_sec, duration = (1000.0, 1100.0), 3600.0
+
+    def one_query(q: int):
+        sentence = f"a red car {q}"
+        g = eng1.ground_windows(feats, sentence, qf, qc)
+        glog = {
+            "video_id": "bench_movie", "task": "grounding",
+            "query_id": f"q{q}", "answer": g["answers"],
+            "info": {"iou": [0.0] * len(g["scores"]), "scores": g["scores"]},
+        }
+        clip_length = int(ecfg2.debug_window * ecfg2.feature_fps)
+        nw = num_windows_strided(len(feats), clip_length, ecfg2.stride)
+        gw = grounding_prefilter(glog, nw, ecfg2.stride, s2_batch)
+        r = eng2.retrieve(feats, sentence, qf, qc, grounding_windows=gw,
+                          rng=np.random.default_rng(q))
+        from revisionllm_tpu.ops.windows import get_ground_truth_windows
+
+        ts, _ = get_ground_truth_windows(gt_sec[0], gt_sec[1], duration)
+        frames, ious = M.stage2_window_hit(
+            r["answers"], ts, r["starts"], r["indexes"],
+            r["hierarchy_zooms"], r["grounding_windows"], s2_batch,
+        )
+        rlog = {
+            "video_id": "bench_movie", "task": "grounding",
+            "query_id": f"q{q}", "answer": r["answers"],
+            "info": {
+                "gt": ts, "frames": frames, "iou": ious,
+                "score_cos": r["score_cos"], "mean_entropy": r["mean_entropy"],
+                "max_entropy": r["max_entropy"],
+                "hierarchy_zooms": r["hierarchy_zooms"],
+            },
+        }
+        fused, ratio = M.fuse_retrieval_grounding([glog], [rlog])
+        return ratio
+
+    _phase("e2e: warm-up query (compiles both engines' programs if cold)")
+    one_query(0)
+    iters = int(os.environ.get("BENCH_E2E_ITERS", "5"))
+    _phase(f"e2e: timing {iters} queries")
+    lat = []
+    for q in range(1, iters + 1):
+        t0 = time.time()
+        one_query(q)
+        lat.append(time.time() - t0)
+    lat = np.sort(np.asarray(lat))
+    p50 = float(lat[len(lat) // 2])
+    qps = float(len(lat) / lat.sum())
+    ref = 0.0544  # batch-1 A100 recursive-pipeline estimate (docstring)
+    print(
+        f"# e2e p50={p50:.2f}s mean={lat.mean():.2f}s qps={qps:.4f}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "end_to_end_queries_per_sec_per_chip_recursive_1h",
+        "value": round(qps, 4),
+        "unit": "queries/sec/chip",
+        "vs_baseline": round(qps / ref, 2),
+        "p50_s": round(p50, 3),
+    }))
 
 
 if __name__ == "__main__":

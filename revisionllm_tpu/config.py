@@ -326,7 +326,7 @@ def _preset_synthetic_tiny() -> WorkloadConfig:
         model=LlamaConfig(dtype="float32"),  # tiny scale trains in f32
         adapter=AdapterConfig(kind="mlp", d_model=16, hierarchy=False),
         data=DataConfig(
-            num_frames=16, debug_window=16, feature_fps=1.0,
+            num_frames=16, debug_window=90, feature_fps=1.0,
             neg_window=True, neg_samples=1.0, max_q_l=8,
         ),
         train=TrainConfig(
@@ -336,8 +336,43 @@ def _preset_synthetic_tiny() -> WorkloadConfig:
             gradient_checkpointing=False, warmup_ratio=0.05,
         ),
         eval=EvalConfig(
-            debug_window=16, num_frames=16, feature_fps=1.0,
+            debug_window=90, num_frames=16, feature_fps=1.0,
             stride=2, batch=8, max_new_tokens=8,
+        ),
+    )
+
+
+def _preset_synthetic_tiny_stage2() -> WorkloadConfig:
+    """Stage-2 retrieval recipe at synthetic-tiny scale: hierarchy batches of
+    8 windows, ClipEncoder CLS adapter, training_stage=3 over the stage-1
+    LoRA (the scripts/mad/stage2_long recipe shape, scaled down)."""
+    return WorkloadConfig(
+        name="synthetic_tiny_stage2",
+        model=LlamaConfig(dtype="float32"),
+        adapter=AdapterConfig(
+            kind="clip_encoder", d_model=16, num_heads=4, num_layers=2,
+            ffn_dim=32, hierarchy=True, feature_mode="cls",
+            clip_adapter_text=True, dropout=0.0,
+        ),
+        data=DataConfig(
+            num_frames=16, debug_window=90, feature_fps=1.0, max_q_l=8,
+            hierarchy=True, hierarchy_num_videos=8, neg_window=True,
+            neg_samples=1.0,
+            # without this, negative records would be assembled as positive
+            # hierarchies over away-from-GT crops (the reference masks the
+            # same poisoning behind its pos_data index-shadowing bug,
+            # dataset.py:605-613 — PARITY.md)
+            hierarchy_neg=True,
+        ),
+        train=TrainConfig(
+            training_stage=3, per_device_batch_size=8, num_epochs=20,
+            learning_rate=2e-3, model_max_length=128,
+            lora=LoraConfig(r=32, alpha=64, dropout=0.0),
+            gradient_checkpointing=False, warmup_ratio=0.05,
+        ),
+        eval=EvalConfig(
+            debug_window=90, num_frames=16, feature_fps=1.0,
+            stride=5, batch=8, max_new_tokens=8, hierarchy_zooms=(1,),
         ),
     )
 
@@ -345,6 +380,7 @@ def _preset_synthetic_tiny() -> WorkloadConfig:
 PRESETS = {
     "stage1_dense": _preset_stage1_dense,
     "synthetic_tiny": _preset_synthetic_tiny,
+    "synthetic_tiny_stage2": _preset_synthetic_tiny_stage2,
     "stage1_sparse": _preset_stage1_sparse,
     "stage1_stream": _preset_stage1_stream,
     "stage2_long_33": lambda: _preset_stage2_long(33),

@@ -47,8 +47,10 @@ def _place_events(
         attempts += 1
         if attempts > 1000:
             raise RuntimeError("cannot place events; lower n_events or ev_max")
-        length = float(rng.uniform(ev_min, ev_max))
-        s = float(rng.uniform(0.0, duration - length))
+        # integer-second spans: the annotation matches the feature placement
+        # exactly (no sub-frame boundary ambiguity the model cannot resolve)
+        length = float(round(rng.uniform(ev_min, ev_max)))
+        s = float(round(rng.uniform(0.0, duration - length)))
         e = s + length
         if all(e + margin < s2 or s - margin > e2 for s2, e2 in spans):
             spans.append((s, e))
@@ -61,11 +63,12 @@ def make_synthetic_corpus(
     n_train_movies: int = 24,
     n_val_movies: int = 8,
     n_classes: int = 4,
-    duration: float = 64.0,
+    duration: float = 540.0,
     fps: float = 1.0,
     d: int = 16,
-    ev_min: float = 4.0,
-    ev_max: float = 7.0,
+    ev_min: float = 28.0,
+    ev_max: float = 45.0,
+    margin: float = 8.0,
     amplitude: float = 2.0,
     noise: float = 0.3,
     background: float = 0.5,
@@ -78,6 +81,11 @@ def make_synthetic_corpus(
     class c is "pattern {c}" and its cls feature IS the class direction (so
     the stage-1 cosine re-scoring is meaningful too). Validation movies are
     freshly sampled — unseen noise AND unseen event placements.
+
+    Default geometry mirrors MAD scaled down: 540 s movies over the pinned
+    90 s retrieval-window grid (ops.windows.get_ground_truth_windows — 450
+    clips x 0.2 s), so the stage-2 window-hit accounting is exercised
+    unchanged; stage-1 grounds 90 s windows at 16 frames (5.6 s/frame).
 
     Returns paths: {features, queries, train_json, val_json, val_ann}.
     """
@@ -93,7 +101,7 @@ def make_synthetic_corpus(
 
     def build_movie(vid: str) -> Dict[str, Tuple[float, float]]:
         feats = background * rng.normal(size=(T, d)).astype(np.float32)
-        spans = _place_events(rng, n_classes, duration, ev_min, ev_max)
+        spans = _place_events(rng, n_classes, duration, ev_min, ev_max, margin)
         gt: Dict[str, Tuple[float, float]] = {}
         for c, (s, e) in enumerate(spans):
             fs, fe = int(round(s * fps)), int(round(e * fps))

@@ -403,6 +403,7 @@ class GroundingEngine:
         query_cls: Optional[np.ndarray] = None,
         grounding_windows: Optional[List[int]] = None,
         rng: Optional[np.random.Generator] = None,
+        question_key: str = "retrieval",
     ) -> Dict[str, Any]:
         """Hierarchical coarse retrieval with multi-scale zoom passes.
 
@@ -422,7 +423,11 @@ class GroundingEngine:
         else:
             windows = windows[np.asarray(grounding_windows, np.int32)]
 
-        ids = self._prompt_ids(sentence, QUESTIONS["retrieval"])
+        # the reference asks the RETRIEVAL question at eval while its stage-2
+        # training data keeps the grounding question (train/dataset.py:489 is
+        # commented out there) — a pretrained backbone absorbs the mismatch;
+        # question_key lets small-model runs keep train == eval phrasing
+        ids = self._prompt_ids(sentence, QUESTIONS[question_key])
 
         # Assemble every (zoom, call) pass first: each sees exactly ecfg.batch
         # window tokens (windows repeated `zoom` times), so ALL multi-scale

@@ -53,6 +53,9 @@ def eval_cfg_from_args(args) -> EvalConfig:
         max_new_tokens=getattr(args, "max_new_tokens", 32),
         baseline=bool(getattr(args, "baseline", False)),
         plus_baseline=bool(getattr(args, "plus_baseline", False)),
+        hierarchy_zooms=tuple(
+            int(z) for z in str(getattr(args, "zooms", None) or "4,2,1").split(",")
+        ),
     )
 
 

@@ -56,6 +56,13 @@ def parse_args(argv=None):
     p.add_argument("--adapter_layers", type=int, default=2)
     p.add_argument("--adapter_ffn", type=int, default=2048)
     p.add_argument("--max_new_tokens", type=int, default=32)
+    p.add_argument("--retrieval_prompt", type=str, default="retrieval",
+                   help="QUESTIONS key for the retrieval question (the "
+                        "reference hard-codes 'retrieval' at "
+                        "eval_nlq_retrieval_e2e2.py:329)")
+    p.add_argument("--zooms", type=str, default="4,2,1",
+                   help="comma list of hierarchy zoom scales per multi-scale "
+                        "pass (reference eval_nlq_retrieval_e2e2.py:337)")
     p.add_argument("--mesh", type=str, default=None,
                    help="dp,fsdp,tp — run every program GSPMD-sharded over "
                         "this chip mesh (e.g. 2,2,2 on a v5e-8)")
@@ -178,6 +185,7 @@ def run(args, engine: GroundingEngine) -> Dict[str, int]:
             res = engine.retrieve(
                 features, sentence, query_feats, query_cls,
                 grounding_windows=gw, rng=rng,
+                question_key=args.retrieval_prompt,
             )
 
             frames, ious = M.stage2_window_hit(

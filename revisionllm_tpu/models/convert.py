@@ -285,10 +285,17 @@ def load_pretrained(
         if lora_dir is None:
             continue
         non_lora = os.path.join(lora_dir, "non_lora_trainables.bin")
-        if os.path.isfile(non_lora):
+        # convenience beyond the reference (builder.py merges ONLY LoRA from
+        # stage dirs; vision comes from initialize_vision_modules): adopt a
+        # stage dir's saved projector as fallback — but never override an
+        # explicit mm_projector_path, and only when the saved keys match the
+        # requested adapter kind (a stage-1 MLP projector must not be force-
+        # parsed as a ClipEncoder when evaluating a stage-3 model)
+        if mm_projector_path is None and os.path.isfile(non_lora):
             raw = _load_torch_state(non_lora)
             proj = _strip_projector_keys(raw)
-            if proj:
+            is_clip_state = any("global_rep_token" in k for k in proj)
+            if proj and (adapter_cfg.kind == "mlp") == (not is_clip_state):
                 if adapter_cfg.kind == "mlp":
                     vision = {"mm_projector": convert_mlp_projector(raw, dtype)}
                 else:

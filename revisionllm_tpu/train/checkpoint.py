@@ -123,7 +123,8 @@ def _export_vision(state: dict, tree: Dict[str, Any], prefix: str) -> None:
             return _torch.from_numpy(
                 np.ascontiguousarray(x.astype(np.float32))
             ).to(_torch.bfloat16)
-        return torch.from_numpy(np.ascontiguousarray(x))
+        # .copy(): jax buffers arrive read-only; torch wants writable memory
+        return torch.from_numpy(np.ascontiguousarray(x).copy())
 
     if "w" in tree and "b" in tree and len(tree) == 2:  # plain mlp projector
         state[f"{prefix}.weight"] = t(np.asarray(tree["w"]).T)

@@ -1,0 +1,153 @@
+"""End-to-end LEARNING proof on the synthetic grounding corpus.
+
+Runs the COMPLETE ReVisionLLM recipe at tiny scale, start to finish, through
+the real CLIs (nothing mocked): corpus generation -> stage-1 dense grounding
+training (train_cli, LoRA state machine, collator) -> reference-format artifact
+export -> stage-2 hierarchical retrieval training (training_stage=3 over the
+stage-1 LoRA, the scripts/mad/stage2_long recipe shape) -> eval/stage1.py ->
+eval/stage2.py (with stage-1 grounding prefilter) -> eval/fusion.py R@K@IoU.
+
+Reference chain being witnessed: scripts/mad/stage1_dense.sh ->
+train/train.py:207-415 -> eval_nlq_negative.py -> eval_nlq_retrieval_e2e2.py
+-> metric_retrieval_forward.py:35-56. The claim this demo proves: the
+system LEARNS to ground events — held-out R@1@IoU0.5 far above chance.
+
+Usage:
+  PYTHONPATH=. JAX_PLATFORMS=cpu python scripts/synthetic_learning_demo.py \
+      --work_dir /tmp/synthetic_demo [--steps1 2500 --steps2 1500]
+
+Prints one JSON line with the headline metrics; exits nonzero if the trained
+R@1@0.5 fails the above-chance bar.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work_dir", default="/tmp/synthetic_demo")
+    ap.add_argument("--steps1", type=int, default=2500)
+    ap.add_argument("--steps2", type=int, default=1500)
+    ap.add_argument("--train_movies", type=int, default=24)
+    ap.add_argument("--val_movies", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--min_r1_at_05", type=float, default=40.0,
+                    help="pass bar for fused R1@0.5 (%); chance is ~3%")
+    ap.add_argument("--skip_train", action="store_true",
+                    help="reuse existing checkpoints in work_dir")
+    args = ap.parse_args(argv)
+
+    wd = args.work_dir
+    os.makedirs(wd, exist_ok=True)
+
+    from revisionllm_tpu.data.synthetic import (
+        build_tiny_hf_checkpoint,
+        make_synthetic_corpus,
+    )
+
+    corpus = os.path.join(wd, "corpus")
+    hf = os.path.join(wd, "hf")
+    if not os.path.isfile(os.path.join(corpus, "val.json")):
+        make_synthetic_corpus(corpus, n_train_movies=args.train_movies,
+                              n_val_movies=args.val_movies, seed=args.seed)
+    if not os.path.isfile(os.path.join(hf, "config.json")):
+        build_tiny_hf_checkpoint(hf)
+
+    from revisionllm_tpu.train import train_cli
+
+    s1 = os.path.join(wd, "stage1")
+    s2 = os.path.join(wd, "stage2")
+    if not args.skip_train or not os.path.isfile(os.path.join(s1, "adapter_model.bin")):
+        print("[train] stage-1 dense grounding ...", file=sys.stderr)
+        train_cli.main([
+            "--preset", "synthetic_tiny",
+            "--model_base", hf,
+            "--data_path", os.path.join(corpus, "train.json"),
+            "--feat_folder", os.path.join(corpus, "features"),
+            "--output_dir", s1,
+            "--max_steps", str(args.steps1),
+            "--save_steps", str(args.steps1), "--log_steps", "250",
+        ])
+    if not args.skip_train or not os.path.isfile(os.path.join(s2, "adapter_model.bin")):
+        print("[train] stage-2 hierarchical retrieval ...", file=sys.stderr)
+        train_cli.main([
+            "--preset", "synthetic_tiny_stage2",
+            "--model_base", hf,
+            "--stage2_path", s1,
+            "--data_path", os.path.join(corpus, "train.json"),
+            "--feat_folder", os.path.join(corpus, "features"),
+            "--q_feat_dir", os.path.join(corpus, "queries"),
+            "--output_dir", s2,
+            "--max_steps", str(args.steps2),
+            "--save_steps", str(args.steps2), "--log_steps", "250",
+        ])
+
+    # ---- eval chain: stage-1 -> stage-2 (prefiltered) -> fusion ----
+    from revisionllm_tpu.eval import fusion, stage1, stage2
+    from revisionllm_tpu.eval import metrics as M
+
+    g_dir = os.path.join(wd, "grounding")
+    r_dir = os.path.join(wd, "retrieval")
+    common = [
+        "--model_base", hf,
+        "--data_path", os.path.join(corpus, "val.json"),
+        "--feat_folder", os.path.join(corpus, "features"),
+        "--q_feat_dir", os.path.join(corpus, "queries"),
+        "--debug_window", "90", "--num_frames", "16", "--feature_fps", "1",
+        "--max_new_tokens", "8", "--debug", "True",
+    ]
+    print("[eval] stage-1 dense grounding ...", file=sys.stderr)
+    stage1.main(common + [
+        "--stage2", s1, "--log_path", g_dir, "--batch", "8",
+        "--skip_small_videos", "False",
+    ])
+    g_logs = M.load_prediction_logs(g_dir, distributed=1)
+    g_metrics = M.grounding_metrics_stream(g_logs)
+
+    print("[eval] stage-2 retrieval (grounding-prefiltered) ...", file=sys.stderr)
+    stage2.main(common + [
+        "--stage2", s2, "--log_path", r_dir, "--batch", "8", "--stride", "5",
+        "--pretrain_clip_adapter", os.path.join(s2, "non_lora_trainables.bin"),
+        "--adapter_d_model", "16", "--adapter_heads", "4",
+        "--adapter_layers", "2", "--adapter_ffn", "32",
+        "--zooms", "1",
+        "--grounding_path", g_dir, "--distributed_retrieval", "1",
+    ])
+
+    print("[eval] fusion ...", file=sys.stderr)
+    fused = fusion.main([
+        "--grounding_path", g_dir,
+        "--retrieval_path", r_dir,
+        "--distributed_grounding", "1",
+        "--distributed_retrieval", "1",
+    ])
+
+    summary = {
+        "stage1_R1@0.3": round(g_metrics.get("R1@0.3", 0.0), 1),
+        "stage1_R1@0.5": round(g_metrics.get("R1@0.5", 0.0), 1),
+        "stage1_mIoU": round(g_metrics.get("mIoU", 0.0), 1),
+        "fused_R1@0.1": round(fused.get("R1@0.1", 0.0), 1),
+        "fused_R1@0.3": round(fused.get("R1@0.3", 0.0), 1),
+        "fused_R1@0.5": round(fused.get("R1@0.5", 0.0), 1),
+        "fused_R5@0.5": round(fused.get("R5@0.5", 0.0), 1),
+        "fused_mIoU": round(fused.get("mIoU", 0.0), 1),
+    }
+    with open(os.path.join(wd, "learning_summary.json"), "w") as f:
+        json.dump({"summary": summary, "stage1": g_metrics, "fused": fused}, f, indent=2)
+    print(json.dumps(summary))
+
+    bar = args.min_r1_at_05
+    ok = summary["fused_R1@0.5"] >= bar or summary["stage1_R1@0.5"] >= bar
+    if not ok:
+        print(f"FAIL: R1@0.5 below the {bar}% bar", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
