@@ -301,7 +301,7 @@ def bench_e2e(params=None):
 
     def one_query(q: int):
         sentence = f"a red car {q}"
-        g = eng1.ground_windows(feats, sentence, qf, qc)
+        g = eng1.ground_windows(feats, sentence, qf, qc, movie_key="bench_movie")
         glog = {
             "video_id": "bench_movie", "task": "grounding",
             "query_id": f"q{q}", "answer": g["answers"],
@@ -311,7 +311,7 @@ def bench_e2e(params=None):
         nw = num_windows_strided(len(feats), clip_length, ecfg2.stride)
         gw = grounding_prefilter(glog, nw, ecfg2.stride, s2_batch)
         r = eng2.retrieve(feats, sentence, qf, qc, grounding_windows=gw,
-                          rng=np.random.default_rng(q))
+                          rng=np.random.default_rng(q), movie_key="bench_movie")
         from revisionllm_tpu.ops.windows import get_ground_truth_windows
 
         ts, _ = get_ground_truth_windows(gt_sec[0], gt_sec[1], duration)

@@ -83,6 +83,43 @@ class GroundingEngine:
         self.eos_id = eos_id
         self.use_pallas = use_pallas
         self._compiled: Dict[Tuple, Any] = {}
+        self._feats_cache: Optional[Tuple[Tuple, Any]] = None
+
+    # --------------------------------------------------------- device gather
+
+    @staticmethod
+    def _device_gather_enabled() -> bool:
+        """Default ON: ship the MOVIE once (f32, ~55 MB for 1 h at 5 fps) and
+        gather windows ON DEVICE — the host-gather path ships every window's
+        frames per chunk (~13x more bytes for overlapping stage-1 windows,
+        ~2.7x for stage-2 zoom rows), which dominates per-query latency on
+        bandwidth-constrained interconnects."""
+        import os
+
+        return os.environ.get("REVISIONLLM_DEVICE_GATHER", "1") == "1"
+
+    _CTX_BUCKET = 4096  # frames; pads movie length so one compiled program
+    #                     serves every movie within the bucket
+
+    def _features_to_device(self, features: np.ndarray, movie_key=None):
+        """[ctx, d] numpy -> padded [ctxp, d] f32 device array, cached by
+        movie_key so consecutive same-movie queries skip the transfer."""
+        ctx, d = features.shape
+        ctxp = -(-ctx // self._CTX_BUCKET) * self._CTX_BUCKET
+        key = (movie_key, ctx, d)
+        if movie_key is not None and self._feats_cache is not None \
+                and self._feats_cache[0] == key:
+            return self._feats_cache[1]
+        buf = np.zeros((ctxp, d), np.float32)
+        buf[:ctx] = features
+        dev = jnp.asarray(buf)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dev = jax.device_put(dev, NamedSharding(self.mesh, P()))
+        if movie_key is not None:
+            self._feats_cache = (key, dev)
+        return dev
 
     # ------------------------------------------------------------------ utils
 
@@ -105,12 +142,13 @@ class GroundingEngine:
             out.append(text)
         return out
 
-    def _get_program(self, key: Tuple, shared_prefix_len: int = 0) -> Any:
+    def _get_program(self, key: Tuple, shared_prefix_len: int = 0,
+                     gather: bool = False) -> Any:
         if key not in self._compiled:
             cfg, acfg = self.llama_cfg, self.adapter_cfg
             mesh = self.mesh
 
-            def run(params, vision, plan, images, query_feats, query_valid):
+            def body(params, vision, plan, images, query_feats, query_valid):
                 if mesh is not None:
                     from revisionllm_tpu.parallel.mesh import BATCH_AXES
                     from revisionllm_tpu.parallel.serve import batch_sharding
@@ -132,6 +170,18 @@ class GroundingEngine:
                     use_pallas=self.use_pallas,
                     shared_prefix_len=shared_prefix_len,
                 )
+
+            if gather:
+                # window frames are GATHERED ON DEVICE from the resident
+                # movie: the per-chunk transfer is the tiny int32 index
+                # tensor instead of [B, T, 768] frame features
+                def run(params, vision, plan, feats, idx, query_feats,
+                        query_valid):
+                    images = feats[idx].astype(jnp.dtype(cfg.dtype))
+                    return body(params, vision, plan, images, query_feats,
+                                query_valid)
+            else:
+                run = body
 
             from revisionllm_tpu.utils.aot_cache import (
                 LazyCachedProgram,
@@ -177,16 +227,30 @@ class GroundingEngine:
         images: np.ndarray,
         query_feats: Optional[np.ndarray],
         query_valid: Optional[np.ndarray],
+        feats_dev=None,
     ) -> ChunkResult:
+        """`images`: [B..., T, d] frame features (host path), or — when
+        `feats_dev` (device-resident movie) is given — an int32 [B..., T]
+        index tensor gathered on device."""
         dtype = jnp.dtype(self.llama_cfg.dtype)
         spl = self._shared_prefix_len(plan_np)
         plan = {k: jnp.asarray(v) for k, v in plan_np.items()}
-        images_j = jnp.asarray(images, dtype)
         if query_feats is not None:
             qf = jnp.asarray(query_feats, dtype)
             qv = jnp.asarray(query_valid) if query_valid is not None else None
         else:
             qf, qv = None, None
+        if feats_dev is not None:
+            idx_j = jnp.asarray(np.asarray(images, np.int32))
+            key = (
+                "gather", feats_dev.shape, idx_j.shape,
+                plan["text_ids"].shape, None if qf is None else qf.shape, spl,
+            )
+            out = self._get_program(key, shared_prefix_len=spl, gather=True)(
+                self.params, self.vision_params, plan, feats_dev, idx_j, qf, qv
+            )
+            return out
+        images_j = jnp.asarray(images, dtype)
         key = (
             images_j.shape, plan["text_ids"].shape,
             None if qf is None else qf.shape, spl,
@@ -214,40 +278,53 @@ class GroundingEngine:
         query_feats: Optional[np.ndarray] = None,
         query_cls: Optional[np.ndarray] = None,
         question_key: str = "mad_grounding",
+        movie_key=None,
     ) -> Dict[str, Any]:
         """Dense grounding over every window of a feature track.
 
         features: [ctx_l, 768] (full movie). Returns answers + per-window
         entropy scores + proposal cosine scores, the per-query payload of
-        reference eval_nlq_negative.py:270-337.
+        reference eval_nlq_negative.py:270-337. `movie_key` (e.g. the movie
+        id) lets consecutive same-movie queries reuse the device-resident
+        feature buffer.
         """
         ecfg = self.eval_cfg
         clip_length = int(ecfg.debug_window * ecfg.feature_fps)
         if ecfg.baseline:
             # single window of the globally-resampled track (reference
             # eval_nlq_negative.py:220-228: resample to clip_length frames,
-            # evaluate windowidx=[1])
+            # evaluate windowidx=[1]). Index maps compose, so the resample
+            # stays an index transform in the device-gather path.
             global_idx = np.linspace(0, len(features) - 1, clip_length, dtype=np.int32)
-            features = features[global_idx]
-            bounds = W.dense_window_bounds(len(features), clip_length)
+            bounds = W.dense_window_bounds(clip_length, clip_length)
             bounds = bounds[1:2] if len(bounds) > 1 else bounds[:1]
+            plan_idx = global_idx[
+                np.asarray(W.window_frame_indices(bounds, ecfg.num_frames))
+            ]
         else:
             bounds = W.dense_window_bounds(len(features), clip_length)
-        if not bounds:
+            if not bounds:
+                return {"answers": [], "scores_entropy": [], "score_cos": [], "frames": {}}
+            plan_idx = np.asarray(
+                W.window_frame_indices(bounds, ecfg.num_frames), np.int32
+            )
+        if not len(plan_idx):
             return {"answers": [], "scores_entropy": [], "score_cos": [], "frames": {}}
-        plan_idx = W.window_frame_indices(bounds, ecfg.num_frames)
-        windows = features[plan_idx]  # [N, num_frames, 768] host gather
         if ecfg.plus_baseline:
             # append one whole-movie window (reference :237-240); its answers
             # map through stage1_iou(plus_baseline=True) with offset 0
-            whole = features[
-                np.linspace(0, len(features) - 1, ecfg.num_frames, dtype=np.int32)
-            ]
-            windows = np.concatenate([windows, whole[None]], axis=0)
+            whole_idx = np.linspace(
+                0, len(features) - 1, ecfg.num_frames, dtype=np.int32
+            )
+            plan_idx = np.concatenate([plan_idx, whole_idx[None]], axis=0)
+
+        use_dg = self._device_gather_enabled()
+        feats_dev = self._features_to_device(features, movie_key) if use_dg else None
+        windows = None if use_dg else features[plan_idx]
 
         ids = self._prompt_ids(sentence, QUESTIONS[question_key])
         chunk = max(ecfg.batch, 1)
-        n = len(windows)
+        n = len(plan_idx)
 
         answers: List[str] = []
         scores_entropy: List[float] = []
@@ -264,11 +341,14 @@ class GroundingEngine:
         pending = []
         for start in range(0, n, chunk):
             end = min(start + chunk, n)
-            feats = windows[start:end]
-            if len(feats) < chunk:  # pad the tail chunk to the compiled shape
-                pad = np.repeat(feats[-1:], chunk - len(feats), axis=0)
-                feats = np.concatenate([feats, pad], axis=0)
-            pending.append((end - start, self._run_chunk(plan_np, feats, qf, qv)))
+            rows = plan_idx[start:end] if use_dg else windows[start:end]
+            if len(rows) < chunk:  # pad the tail chunk to the compiled shape
+                pad = np.repeat(rows[-1:], chunk - len(rows), axis=0)
+                rows = np.concatenate([rows, pad], axis=0)
+            pending.append((
+                end - start,
+                self._run_chunk(plan_np, rows, qf, qv, feats_dev=feats_dev),
+            ))
         col = 0 if ecfg.score == "max_entropy" else 2
         for n_valid, out in pending:
             res = self._read_chunk(out)
@@ -292,30 +372,53 @@ class GroundingEngine:
             # dispatches measured ~1.7 s/query of host overhead at 7B scale)
             qc = jnp.asarray(query_cls, jnp.float32)
             maxlen = ecfg.num_frames
+            d = features.shape[-1]
             P = len(frames)
             # bucket the proposal count so one compiled program serves every
             # query (a shape per P would recompile per query)
             Pb = 8
             while Pb < P:
                 Pb *= 2
-            padded = np.zeros((Pb, maxlen, windows.shape[-1]), np.float32)
             valid = np.zeros((Pb, maxlen), bool)
-            for j, (i, (f, t)) in enumerate(frames.items()):
-                prop = windows[i][f : t + 1].astype(np.float32)
-                padded[j, : len(prop)] = prop
-                valid[j, : len(prop)] = True
-            score_fn = self._compiled.setdefault(
-                ("cosine", Pb, maxlen, windows.shape[-1]),
-                jax.jit(
-                    jax.vmap(
-                        lambda q, fr, va: proposal_cosine_scores(q, fr, va, k=3),
-                        in_axes=(None, 0, 0),
-                    )
-                ),
-            )
+            if use_dg:
+                # proposal frames gathered on device from the resident movie
+                prop_idx = np.zeros((Pb, maxlen), np.int32)
+                for j, (i, (f, t)) in enumerate(frames.items()):
+                    row = plan_idx[i][f : t + 1]
+                    prop_idx[j, : len(row)] = row
+                    valid[j, : len(row)] = True
+                score_fn = self._compiled.setdefault(
+                    ("cosine_gather", Pb, maxlen, d, feats_dev.shape),
+                    jax.jit(
+                        jax.vmap(
+                            lambda q, feats, ir, va: proposal_cosine_scores(
+                                q, jnp.where(va[:, None], feats[ir], 0.0), va, k=3
+                            ),
+                            in_axes=(None, None, 0, 0),
+                        )
+                    ),
+                )
+                scores_arr = np.asarray(score_fn(
+                    qc, feats_dev, jnp.asarray(prop_idx), jnp.asarray(valid)
+                ))
+            else:
+                padded = np.zeros((Pb, maxlen, d), np.float32)
+                for j, (i, (f, t)) in enumerate(frames.items()):
+                    prop = windows[i][f : t + 1].astype(np.float32)
+                    padded[j, : len(prop)] = prop
+                    valid[j, : len(prop)] = True
+                score_fn = self._compiled.setdefault(
+                    ("cosine", Pb, maxlen, d),
+                    jax.jit(
+                        jax.vmap(
+                            lambda q, fr, va: proposal_cosine_scores(q, fr, va, k=3),
+                            in_axes=(None, 0, 0),
+                        )
+                    ),
+                )
+                scores_arr = np.asarray(score_fn(qc, jnp.asarray(padded), jnp.asarray(valid)))
             # k=3 with validity masking equals the reference's k=min(len,3):
             # invalid top-k picks are zeroed before pooling
-            scores_arr = np.asarray(score_fn(qc, jnp.asarray(padded), jnp.asarray(valid)))
             score_cos = [float(x) for x in scores_arr[:P]]
 
         if ecfg.normalize:
@@ -354,6 +457,7 @@ class GroundingEngine:
         self,
         features: np.ndarray,
         prompt: Optional[str] = None,
+        movie_key=None,
     ) -> Dict[str, Any]:
         """Dense captioning per window (the 'captioning' task of reference
         eval_nlq_negative.py:265-268 with the JSON-event prompt). Caption
@@ -371,8 +475,10 @@ class GroundingEngine:
         bounds = W.dense_window_bounds(len(features), clip_length)
         if not bounds:
             return {"answers": []}
-        plan_idx = W.window_frame_indices(bounds, ecfg.num_frames)
-        windows = features[plan_idx]
+        plan_idx = np.asarray(W.window_frame_indices(bounds, ecfg.num_frames), np.int32)
+        use_dg = self._device_gather_enabled()
+        feats_dev = self._features_to_device(features, movie_key) if use_dg else None
+        windows = None if use_dg else features[plan_idx]
 
         full = CONV_VICUNA_V1.user_turn_prompt("<video>\n " + prompt)
         ids = tokenizer_image_token(full, self.tokenizer)
@@ -384,12 +490,14 @@ class GroundingEngine:
         answers: List[str] = []
         for start in range(0, len(bounds), chunk):
             end = min(start + chunk, len(bounds))
-            feats = windows[start:end]
-            if len(feats) < chunk:
-                feats = np.concatenate(
-                    [feats, np.repeat(feats[-1:], chunk - len(feats), axis=0)], 0
+            rows = plan_idx[start:end] if use_dg else windows[start:end]
+            if len(rows) < chunk:
+                rows = np.concatenate(
+                    [rows, np.repeat(rows[-1:], chunk - len(rows), axis=0)], 0
                 )
-            res = self._run_chunk_sync(plan_np, feats, None, None)
+            res = self._read_chunk(
+                self._run_chunk(plan_np, rows, None, None, feats_dev=feats_dev)
+            )
             answers.extend(res.answers[: end - start])
         return {"answers": answers}
 
@@ -404,24 +512,30 @@ class GroundingEngine:
         grounding_windows: Optional[List[int]] = None,
         rng: Optional[np.random.Generator] = None,
         question_key: str = "retrieval",
+        movie_key=None,
     ) -> Dict[str, Any]:
         """Hierarchical coarse retrieval with multi-scale zoom passes.
 
         features: [ctx_l, 768]. One LLM call per zoom in hierarchy_zooms; each
         call sees eval_cfg.batch window-CLS tokens (reference
-        eval_nlq_retrieval_e2e2.py:337-386).
+        eval_nlq_retrieval_e2e2.py:337-386). All window slicing, shuffling
+        and zoom repetition happen in INDEX space; frames are gathered on
+        device from the resident movie (see _device_gather_enabled).
         """
         ecfg = self.eval_cfg
         rng = rng or np.random.default_rng(42)
         clip_length = int(ecfg.debug_window * ecfg.feature_fps)
         bounds = W.strided_window_bounds(len(features), clip_length, ecfg.stride)
-        plan_idx = W.window_frame_indices(bounds, ecfg.num_frames)
-        windows = features[plan_idx]  # [V, T, 768]
+        plan_idx = np.asarray(W.window_frame_indices(bounds, ecfg.num_frames), np.int32)
+        win_idx = plan_idx  # [V, T] frame indices per window
 
         if grounding_windows is None:
-            grounding_windows = list(range(len(windows)))
+            grounding_windows = list(range(len(win_idx)))
         else:
-            windows = windows[np.asarray(grounding_windows, np.int32)]
+            win_idx = win_idx[np.asarray(grounding_windows, np.int32)]
+
+        use_dg = self._device_gather_enabled()
+        feats_dev = self._features_to_device(features, movie_key) if use_dg else None
 
         # the reference asks the RETRIEVAL question at eval while its stage-2
         # training data keeps the grounding question (train/dataset.py:489 is
@@ -439,9 +553,9 @@ class GroundingEngine:
         indexes: List[np.ndarray] = []
         hierarchy_zooms: List[int] = []
         call_in_zoom: List[int] = []  # the reference's inner-loop `i` (:339)
-        row_feats: List[np.ndarray] = []
+        row_idx: List[np.ndarray] = []  # [num_videos, T] frame indices per row
 
-        V = len(windows)
+        V = len(win_idx)
         for zoom in ecfg.hierarchy_zooms:
             batch = max(ecfg.batch // zoom, 1)
             n_calls = int(np.ceil(V / batch))
@@ -452,20 +566,20 @@ class GroundingEngine:
                 if end - start < batch:
                     start = max(end - batch, 0)
                 starts.append(start)
-                feat = windows[start : start + batch]
-                if len(feat) < batch:
-                    feat = np.concatenate(
-                        [feat, np.repeat(feat[-1:], batch - len(feat), axis=0)], 0
+                row = win_idx[start : start + batch]
+                if len(row) < batch:
+                    row = np.concatenate(
+                        [row, np.repeat(row[-1:], batch - len(row), axis=0)], 0
                     )
-                perm = rng.permutation(feat.shape[0])
+                perm = rng.permutation(row.shape[0])
                 indexes.append(perm)
-                feat = feat[perm]
+                row = row[perm]
                 if zoom > 1:
-                    feat = np.repeat(feat, zoom, axis=0)
+                    row = np.repeat(row, zoom, axis=0)
                 hierarchy_zooms.append(zoom)
-                row_feats.append(feat)
+                row_idx.append(row)
 
-        num_videos = row_feats[0].shape[0] if row_feats else ecfg.batch
+        num_videos = row_idx[0].shape[0] if row_idx else ecfg.batch
         plan = build_splice_plan(
             ids, num_videos, len(ids) - 1 + num_videos + ecfg.max_new_tokens
         )
@@ -473,18 +587,22 @@ class GroundingEngine:
         mean_entropy: List[float] = []
         max_entropy: List[float] = []
         row_batch = max(len(ecfg.hierarchy_zooms), 1)
-        for rstart in range(0, len(row_feats), row_batch):
-            rows = row_feats[rstart : rstart + row_batch]
+        for rstart in range(0, len(row_idx), row_batch):
+            rows = row_idx[rstart : rstart + row_batch]
             n_rows = len(rows)
             if n_rows < row_batch:
                 rows = rows + [rows[-1]] * (row_batch - n_rows)
-            images = np.stack(rows, axis=0)  # [R, num_videos, T, d]
+            images = np.stack(rows, axis=0)  # [R, num_videos, T] idx or frames
+            if not use_dg:
+                images = features[images]  # [R, num_videos, T, d] host gather
             plan_np = stack_plans([plan] * row_batch)
             qf = qv = None
             if query_feats is not None:
                 qf = np.repeat(query_feats[None], row_batch, axis=0)
                 qv = np.ones(qf.shape[:2], dtype=bool)
-            res = self._run_chunk_sync(plan_np, images, qf, qv)
+            res = self._read_chunk(
+                self._run_chunk(plan_np, images, qf, qv, feats_dev=feats_dev)
+            )
             answers.extend(res.answers[:n_rows])
             for r in range(n_rows):
                 max_entropy.append(1.0 / max(res.entropy_stats[r, 0], 1e-9))
@@ -501,38 +619,58 @@ class GroundingEngine:
             # per-pass row length: the reference clamps with the CURRENT
             # pass's len(feat[0]), which differs across passes when
             # eval batch is not divisible by a zoom factor (ADVICE r2)
-            num_videos_rows = [rf.shape[0] for rf in row_feats]
+            num_videos_rows = [ri.shape[0] for ri in row_idx]
             chosen = M.stage2_chosen_windows(
                 answers, starts, indexes, hierarchy_zooms, call_in_zoom,
                 grounding_windows, num_videos_rows,
             )
-            to_score: List[np.ndarray] = []
+            to_score: List[np.ndarray] = []  # [T] frame-index rows
             for p, ns in enumerate(chosen):
                 if ns:
                     for n2 in ns:
-                        to_score.append(row_feats[p][n2])
+                        to_score.append(row_idx[p][n2])
             scores_flat: List[float] = []
             if to_score:
-                T, d = to_score[0].shape
+                T = to_score[0].shape[0]
+                d = features.shape[-1]
                 Pb = 8
                 while Pb < len(to_score):
                     Pb *= 2
-                padded = np.zeros((Pb, T, d), np.float32)
-                for j, wf in enumerate(to_score):
-                    padded[j] = wf
                 valid = np.zeros((Pb, T), bool)
                 valid[: len(to_score)] = True
-                score_fn = self._compiled.setdefault(
-                    ("cosine", Pb, T, d),
-                    jax.jit(
-                        jax.vmap(
-                            lambda q, fr, va: proposal_cosine_scores(q, fr, va, k=3),
-                            in_axes=(None, 0, 0),
-                        )
-                    ),
-                )
                 qc = jnp.asarray(query_cls, jnp.float32)
-                arr = np.asarray(score_fn(qc, jnp.asarray(padded), jnp.asarray(valid)))
+                if use_dg:
+                    prop_idx = np.zeros((Pb, T), np.int32)
+                    for j, ir in enumerate(to_score):
+                        prop_idx[j] = ir
+                    score_fn = self._compiled.setdefault(
+                        ("cosine_gather", Pb, T, d, feats_dev.shape),
+                        jax.jit(
+                            jax.vmap(
+                                lambda q, feats, ir, va: proposal_cosine_scores(
+                                    q, jnp.where(va[:, None], feats[ir], 0.0), va, k=3
+                                ),
+                                in_axes=(None, None, 0, 0),
+                            )
+                        ),
+                    )
+                    arr = np.asarray(score_fn(
+                        qc, feats_dev, jnp.asarray(prop_idx), jnp.asarray(valid)
+                    ))
+                else:
+                    padded = np.zeros((Pb, T, d), np.float32)
+                    for j, ir in enumerate(to_score):
+                        padded[j] = features[ir]
+                    score_fn = self._compiled.setdefault(
+                        ("cosine", Pb, T, d),
+                        jax.jit(
+                            jax.vmap(
+                                lambda q, fr, va: proposal_cosine_scores(q, fr, va, k=3),
+                                in_axes=(None, 0, 0),
+                            )
+                        ),
+                    )
+                    arr = np.asarray(score_fn(qc, jnp.asarray(padded), jnp.asarray(valid)))
                 scores_flat = [float(x) for x in arr[: len(to_score)]]
             it = iter(scores_flat)
             for ns in chosen:

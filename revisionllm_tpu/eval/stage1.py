@@ -149,7 +149,7 @@ def run(args, engine: GroundingEngine) -> Dict[str, int]:
 
             if getattr(args, "task", "grounding") in ("captioning", "all"):
                 # dense captioning per window (reference eval_nlq_negative.py:265-268)
-                cap_res = engine.caption_windows(features)
+                cap_res = engine.caption_windows(features, movie_key=movie)
                 M.write_log(prediction_path, movie, "captioning", qid, cap_res["answers"])
                 if getattr(args, "task", "grounding") == "captioning":
                     n_done += 1
@@ -165,7 +165,7 @@ def run(args, engine: GroundingEngine) -> Dict[str, int]:
 
             res = engine.ground_windows(
                 features, sentence, query_feats, query_cls,
-                question_key=args.mad_prompt,
+                question_key=args.mad_prompt, movie_key=movie,
             )
 
             duration = data.get("movie_duration", data.get("duration"))

@@ -185,7 +185,8 @@ def run(args, engine: GroundingEngine) -> Dict[str, int]:
             res = engine.retrieve(
                 features, sentence, query_feats, query_cls,
                 grounding_windows=gw, rng=rng,
-                question_key=args.retrieval_prompt,
+                question_key=getattr(args, "retrieval_prompt", "retrieval"),
+                movie_key=movie,
             )
 
             frames, ious = M.stage2_window_hit(

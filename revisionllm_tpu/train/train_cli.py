@@ -63,6 +63,10 @@ def parse_args(argv=None):
     p.add_argument("--save_steps", type=int, default=500)
     p.add_argument("--log_steps", type=int, default=10)
     p.add_argument("--tiny_model", action="store_true", help="toy geometry for smoke tests")
+    p.add_argument("--lora_r", type=int, default=None,
+                   help="LoRA rank override (reference train.py:93 lora_r)")
+    p.add_argument("--lora_alpha", type=int, default=None,
+                   help="LoRA alpha override (reference train.py:94 lora_alpha)")
     return p.parse_args(argv)
 
 
@@ -75,6 +79,12 @@ def build_configs(args):
         v = getattr(args, name)
         if v is not None:
             overrides[name] = v
+    if args.lora_r is not None and train_cfg.lora is not None:
+        overrides["lora"] = LoraConfig(**{
+            **train_cfg.lora.__dict__,
+            "r": args.lora_r,
+            "alpha": args.lora_alpha or 2 * args.lora_r,
+        })
     if overrides:
         train_cfg = TrainConfig(**{**train_cfg.__dict__, **overrides})
     data_cfg = DataConfig(**{

@@ -110,12 +110,16 @@ def main(argv=None):
     g_metrics = M.grounding_metrics_stream(g_logs)
 
     print("[eval] stage-2 retrieval (grounding-prefiltered) ...", file=sys.stderr)
+    # training_stage=3 checkpoints need BOTH LoRA stages merged in order
+    # (reference builder.py:46-60); the retrieval prompt matches the
+    # training phrasing (see engine.retrieve question_key)
     stage2.main(common + [
-        "--stage2", s2, "--log_path", r_dir, "--batch", "8", "--stride", "5",
+        "--stage2", s1, "--stage3", s2,
+        "--log_path", r_dir, "--batch", "8", "--stride", "5",
         "--pretrain_clip_adapter", os.path.join(s2, "non_lora_trainables.bin"),
         "--adapter_d_model", "16", "--adapter_heads", "4",
         "--adapter_layers", "2", "--adapter_ffn", "32",
-        "--zooms", "1",
+        "--zooms", "1", "--retrieval_prompt", "mad_grounding",
         "--grounding_path", g_dir, "--distributed_retrieval", "1",
     ])
 
