@@ -223,7 +223,7 @@ class GroundingDataset:
         (reference dataset.py:563-623)."""
         cfg = self.cfg
         source = copy.deepcopy(self.records[i])
-        num_pos = int(self.rng.integers(2, 4))
+        num_pos = int(self.rng.integers(*cfg.hierarchy_pos_range))
         if cfg.hierarchy_zoom:
             zoom = cfg.fix_hierarchy_zoom if cfg.fix_hierarchy_zoom > 0 else int(
                 self.rng.choice([1, 2])

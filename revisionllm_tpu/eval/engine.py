@@ -587,6 +587,10 @@ class GroundingEngine:
         mean_entropy: List[float] = []
         max_entropy: List[float] = []
         row_batch = max(len(ecfg.hierarchy_zooms), 1)
+        # dispatch every row-batch asynchronously, then realize: host-side
+        # index assembly + token decode of pass k overlaps device compute of
+        # pass k+1 (same structure as ground_windows' pending list)
+        pending = []
         for rstart in range(0, len(row_idx), row_batch):
             rows = row_idx[rstart : rstart + row_batch]
             n_rows = len(rows)
@@ -600,9 +604,11 @@ class GroundingEngine:
             if query_feats is not None:
                 qf = np.repeat(query_feats[None], row_batch, axis=0)
                 qv = np.ones(qf.shape[:2], dtype=bool)
-            res = self._read_chunk(
-                self._run_chunk(plan_np, images, qf, qv, feats_dev=feats_dev)
-            )
+            pending.append((
+                n_rows, self._run_chunk(plan_np, images, qf, qv, feats_dev=feats_dev)
+            ))
+        for n_rows, out in pending:
+            res = self._read_chunk(out)
             answers.extend(res.answers[:n_rows])
             for r in range(n_rows):
                 max_entropy.append(1.0 / max(res.entropy_stats[r, 0], 1e-9))

@@ -98,6 +98,8 @@ def init_adapter_params(cfg: AdapterConfig, key: jax.Array, dtype=jnp.float32) -
         params["text_proj"] = _init_linear(ks[-2], cfg.d_model, cfg.hidden_size, dtype)
     else:
         params["mm_projector"] = _init_linear(ks[-1], d, cfg.hidden_size, dtype)
+        if cfg.projector_init == "zero":
+            params["mm_projector"]["w"] = jnp.zeros_like(params["mm_projector"]["w"])
     return params
 
 

@@ -29,36 +29,69 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def _host_random_base(cfg, rng: np.random.Generator):
-    """Structure-correct random 7B as HOST float32 (a device bf16 init would
-    not fit next to its own int8 copy), then int8-quantized host-side."""
+    """Structure-correct pseudo-random 7B built DIRECTLY in the int8 serving
+    form. A true per-value RNG init is ~27 GB of gaussians — this host's
+    single throttled core generates ~2-5 M values/s, i.e. >30 min of pure
+    RNG. Instead one 4 M-entry int8 block is tiled into every matrix with a
+    per-layer roll (memory-speed, ~1-2 min); std ~0.02 via the scale rows.
+    Throughput and training-dynamics fidelity do not need per-value entropy.
+    """
     import jax
 
     from revisionllm_tpu.models import llama
-    from revisionllm_tpu.ops.quant import quantize_llama_params_host
 
     shapes = jax.eval_shape(
         lambda k: llama.init_params(cfg, k, np.float32), jax.random.PRNGKey(0)
     )
+    block = rng.integers(-127, 128, size=4_000_003, dtype=np.int64).astype(np.int8)
+    state = {"i": 0}
 
-    def mk(s):
-        return (0.02 * rng.standard_normal(s.shape)).astype(np.float32)
+    def tile_i8(shape):
+        n = int(np.prod(shape))
+        state["i"] += 1
+        off = (state["i"] * 997) % len(block)
+        rolled = np.concatenate([block[off:], block[:off]])
+        reps = -(-n // len(block))
+        out = np.empty(reps * len(block), np.int8)
+        # ONE broadcast copy — np.tile degrades to ~10 MB/s on this host
+        out.reshape(reps, len(block))[:] = rolled
+        return out[:n].reshape(shape)
 
-    host = jax.tree.map(mk, shapes)
-    # norms start at 1 like the real init
-    host["layers"]["attn_norm"] = np.ones_like(host["layers"]["attn_norm"])
-    host["layers"]["mlp_norm"] = np.ones_like(host["layers"]["mlp_norm"])
-    host["final_norm"] = np.ones_like(host["final_norm"])
+    # int8 values are ~uniform in [-127,127] (std ~73); scale sets weight std
+    w_scale = np.float32(0.02 / 73.0)
+
+    def q_leaf(s):
+        sh = s.shape
+        return {
+            "q8": tile_i8(sh),
+            "scale": np.full(sh[:-2] + sh[-1:], w_scale, np.float32),
+        }
+
+    layers = {}
+    for name, s in shapes["layers"].items():
+        if name.endswith("_norm") or len(s.shape) < 3:
+            layers[name] = np.ones(s.shape, np.float32)
+        else:
+            layers[name] = q_leaf(s)
+    D = cfg.hidden_size
+    embed = tile_i8(shapes["embed"].shape).astype(np.float32) * w_scale
     # lm_head rows scaled so |h|~sqrt(D) after the final RMSNorm yields a
     # logit spread of ~2.5 — a frozen 0.02-std head caps the expressible
     # confidence (see data/synthetic.py::build_tiny_hf_checkpoint)
-    head_std = 2.5 / float(np.sqrt(host["lm_head"].shape[0]))
-    host["lm_head"] = (head_std * rng.standard_normal(host["lm_head"].shape)).astype(np.float32)
-    return quantize_llama_params_host(host, quantize_lm_head=False)
+    head_scale = np.float32((2.5 / np.sqrt(D)) / 73.0)
+    lm_head = tile_i8(shapes["lm_head"].shape).astype(np.float32) * head_scale
+    return {
+        "embed": embed,
+        "lm_head": lm_head,
+        "final_norm": np.ones(shapes["final_norm"].shape, np.float32),
+        "layers": layers,
+    }
 
 
 def main(argv=None):
@@ -124,8 +157,20 @@ def main(argv=None):
     )
 
     phase("host-side random 7B + int8 quantization")
+    base_cache = os.path.join(args.out, f"base_int8_{args.layers}L.npz")
     rng_np = np.random.default_rng(0)
-    base_host = _host_random_base(cfg, rng_np)
+    if os.path.isfile(base_cache):
+        import pickle
+
+        with open(base_cache, "rb") as f:
+            base_host = pickle.load(f)
+        phase("loaded cached int8 base")
+    else:
+        base_host = _host_random_base(cfg, rng_np)
+        import pickle
+
+        with open(base_cache, "wb") as f:
+            pickle.dump(base_host, f)
     phase("device transfer (int8 base)")
 
     def dev(tree):
