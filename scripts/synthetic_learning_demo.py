@@ -31,8 +31,9 @@ import sys
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--work_dir", default="/tmp/synthetic_demo")
-    ap.add_argument("--steps1", type=int, default=2500)
-    ap.add_argument("--steps2", type=int, default=1500)
+    ap.add_argument("--steps1", type=int, default=3000)
+    ap.add_argument("--steps_sparse", type=int, default=2500)
+    ap.add_argument("--steps2", type=int, default=4000)
     ap.add_argument("--train_movies", type=int, default=24)
     ap.add_argument("--val_movies", type=int, default=8)
     ap.add_argument("--seed", type=int, default=3)
@@ -73,12 +74,32 @@ def main(argv=None):
             "--max_steps", str(args.steps1),
             "--save_steps", str(args.steps1), "--log_steps", "250",
         ])
+    sp = os.path.join(wd, "sparse")
+    if not args.skip_train or not os.path.isfile(os.path.join(sp, "non_lora_trainables.bin")):
+        # adapter pretraining (scripts/mad/stage1_sparse.sh phase): stage-2
+        # retrieval cannot bootstrap a RANDOM ClipEncoder — it plateaus at
+        # the answer-template optimum (measured across 3 lrs); pretraining
+        # the adapter against the frozen stage-1 backbone is the reference's
+        # own cure, and takes stage-2 training loss from ~0.5 to ~3e-4
+        print("[train] sparse ClipEncoder pretraining ...", file=sys.stderr)
+        train_cli.main([
+            "--preset", "synthetic_tiny_sparse",
+            "--model_base", hf,
+            "--stage2_path", s1,
+            "--data_path", os.path.join(corpus, "train.json"),
+            "--feat_folder", os.path.join(corpus, "features"),
+            "--q_feat_dir", os.path.join(corpus, "queries"),
+            "--output_dir", sp,
+            "--max_steps", str(args.steps_sparse),
+            "--save_steps", str(args.steps_sparse), "--log_steps", "250",
+        ])
     if not args.skip_train or not os.path.isfile(os.path.join(s2, "adapter_model.bin")):
         print("[train] stage-2 hierarchical retrieval ...", file=sys.stderr)
         train_cli.main([
             "--preset", "synthetic_tiny_stage2",
             "--model_base", hf,
             "--stage2_path", s1,
+            "--pretrain_clip_adapter", os.path.join(sp, "non_lora_trainables.bin"),
             "--data_path", os.path.join(corpus, "train.json"),
             "--feat_folder", os.path.join(corpus, "features"),
             "--q_feat_dir", os.path.join(corpus, "queries"),

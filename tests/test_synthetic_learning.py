@@ -33,7 +33,8 @@ def test_learns_to_ground(tmp_path):
     rc = synthetic_learning_demo.main([
         "--work_dir", wd,
         "--steps1", "1800",
-        "--steps2", "700",
+        "--steps_sparse", "1200",
+        "--steps2", "1500",
         "--min_r1_at_05", "15",
     ])
     assert rc == 0
