@@ -696,3 +696,99 @@ class GroundingEngine:
             "grounding_windows": grounding_windows,
             "num_windows": V,
         }
+
+    # ------------------------------------------------------------- t2v eval
+
+    def retrieve_videos(
+        self,
+        video_feats: np.ndarray,
+        sentence: str,
+        query_feats: Optional[np.ndarray] = None,
+        query_cls: Optional[np.ndarray] = None,
+        question_key: str = "retrieval",
+        corpus_key=None,
+    ) -> Dict[str, Any]:
+        """Text->VIDEO retrieval over a candidate corpus (MSRVTT-style):
+        candidates play the role stage-2 windows play — passes of
+        eval_cfg.batch video tracks, 'In video N' / 'From i to j' answers
+        mapped back to candidate ids, scored by inverse mean entropy and
+        (optionally) query-CLS cosine.
+
+        video_feats: [V, T, d] — each candidate already linspace-sampled to
+        num_frames (the t2v dataset's sample_track, reference
+        dataset.py:661-666). `corpus_key` caches the candidate stack on
+        device across the whole query loop (the corpus is shared).
+        """
+        ecfg = self.eval_cfg
+        V, T, d = video_feats.shape
+        batch = max(ecfg.batch, 1)
+
+        use_dg = self._device_gather_enabled()
+        feats_dev = None
+        if use_dg:
+            flat = video_feats.reshape(V * T, d)
+            feats_dev = self._features_to_device(flat, corpus_key)
+        base_idx = np.arange(V * T, dtype=np.int32).reshape(V, T)
+
+        ids = self._prompt_ids(sentence, QUESTIONS[question_key])
+        plan = build_splice_plan(
+            ids, batch, len(ids) - 1 + batch + ecfg.max_new_tokens
+        )
+        starts: List[int] = []
+        pending = []
+        n_pass = int(np.ceil(V / batch))
+        plan_np = stack_plans([plan])
+        for p in range(n_pass):
+            start = min(p * batch, max(V - batch, 0))
+            starts.append(start)
+            rows = base_idx[start : start + batch]
+            if len(rows) < batch:
+                rows = np.concatenate(
+                    [rows, np.repeat(rows[-1:], batch - len(rows), axis=0)], 0
+                )
+            images = rows[None]  # [1, batch, T] idx
+            if not use_dg:
+                images = video_feats.reshape(V * T, d)[images]
+            qf = qv = None
+            if query_feats is not None:
+                qf = query_feats[None]
+                qv = np.ones(qf.shape[:2], dtype=bool)
+            pending.append(self._run_chunk(plan_np, images, qf, qv, feats_dev=feats_dev))
+
+        answers: List[str] = []
+        inv_entropy: List[float] = []
+        for out in pending:
+            res = self._read_chunk(out)
+            answers.append(res.answers[0])
+            inv_entropy.append(1.0 / max(res.entropy_stats[0, 2], 1e-9))
+
+        # answers -> candidate ids + scores
+        chosen: List[int] = []
+        scores: List[float] = []
+        for p, a in enumerate(answers):
+            n = M.parse_single(a)
+            if n is None:
+                continue
+            cand = starts[p] + min(max(n, 0), batch - 1)
+            if cand >= V:
+                continue
+            chosen.append(cand)
+            scores.append(inv_entropy[p])
+        if query_cls is not None and chosen:
+            qc = jnp.asarray(query_cls, jnp.float32)
+            cos: List[float] = []
+            for cand in chosen:
+                fr = jnp.asarray(video_feats[cand], jnp.float32)
+                va = jnp.ones((T,), bool)
+                cos.append(float(proposal_cosine_scores(qc, fr, va, k=3)))
+            m = max(abs(c) for c in cos) or 1.0
+            scores = [s * (c / m) for s, c in zip(scores, cos)]
+
+        order = np.argsort(np.asarray(scores))[::-1] if scores else []
+        ranked = [chosen[i] for i in order]
+        return {
+            "answers": answers,
+            "ranked": ranked,
+            "scores": [scores[i] for i in order],
+            "num_candidates": V,
+        }
