@@ -235,6 +235,31 @@ def _mlp_block(lp, lora_lp, lora_scale, x):
         f = gu.shape[-1] // 2
         return proj("down_proj", jax.nn.silu(gu[..., :f]) * gu[..., f:])
     if lora_lp is None:
+        if _fused_mlp_enabled() and isinstance(lp.get("gate_proj"), dict) \
+                and "q8" in lp["gate_proj"] and "q8" in lp.get("down_proj", {}):
+            # REVISIONLLM_FUSED_MLP=1: SwiGLU tail in one Pallas kernel whose
+            # epilogue emits the down_proj input pre-quantized. Measured a
+            # TIE with the XLA chain on v5e (BENCH_NOTES round 4 — XLA's
+            # quantize chains already hide under matmul stalls); kept
+            # opt-in as the A/B harness for other TPU generations.
+            from revisionllm_tpu.ops.quant import (
+                quantize_activation_rows,
+                w8a8_mlp_fused,
+                w8a8_prequant_matmul,
+            )
+
+            orig = x.shape
+            x2 = x.reshape(-1, orig[-1])
+            xq, xs = quantize_activation_rows(x2)
+            hq, hs = w8a8_mlp_fused(
+                xq, xs, lp["gate_proj"]["q8"], lp["gate_proj"]["scale"],
+                lp["up_proj"]["q8"], lp["up_proj"]["scale"],
+            )
+            out = w8a8_prequant_matmul(
+                hq, hs, lp["down_proj"]["q8"], lp["down_proj"]["scale"],
+                out_dtype=x.dtype,
+            )
+            return out.reshape(*orig[:-1], out.shape[-1])
         g_lin, up = q8_apply_multi(x, (lp["gate_proj"], lp["up_proj"]))
         return q8_apply(jax.nn.silu(g_lin) * up, lp["down_proj"])
     gate = jax.nn.silu(proj("gate_proj", x))
@@ -539,6 +564,21 @@ def prefill_kv(
                 "v": jnp.concatenate([pvb, cache["v"]], axis=2),
             }
     return logits_from_hidden(params, last), cache
+
+
+_FUSED_MLP = None
+
+
+def _fused_mlp_enabled() -> bool:
+    """REVISIONLLM_FUSED_MLP=1: route the W8A8 prefill MLP tail through the
+    fused Pallas kernel (ops.quant.w8a8_mlp_fused). Opt-in — measured a tie
+    with XLA's chain on v5e (BENCH_NOTES round 4)."""
+    global _FUSED_MLP
+    if _FUSED_MLP is None:
+        import os
+
+        _FUSED_MLP = os.environ.get("REVISIONLLM_FUSED_MLP", "0") == "1"
+    return _FUSED_MLP
 
 
 _ATTN8 = None

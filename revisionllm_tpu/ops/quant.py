@@ -701,3 +701,160 @@ def quantize_llama_params_int4(params, group: int = 128, quantize_lm_head: bool 
         q, s = quantize_int4(params["lm_head"], group)
         out["lm_head"] = {"q4": q, "scale4": s}
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fused W8A8 MLP tail: gate/up int8 dots + SwiGLU + requantize epilogue
+# ---------------------------------------------------------------------------
+
+
+def _fused_mlp_kernel(xq_ref, xs_ref, gq_ref, gs_ref, uq_ref, us_ref,
+                      hq_ref, hs_ref, acc_g, acc_u, *, n_k):
+    """One [bm, N] row-block: accumulate int8 gate/up dots over K blocks,
+    then silu(g)*u, per-row absmax, int8 quantize — the next activation
+    leaves the MXU already quantized (no bf16 h materialization in HBM and
+    no separate absmax/round/clip passes)."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_g[:] = jnp.zeros_like(acc_g)
+        acc_u[:] = jnp.zeros_like(acc_u)
+
+    x = xq_ref[:]
+    acc_g[:] += jax.lax.dot_general(
+        x, gq_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    acc_u[:] += jax.lax.dot_general(
+        x, uq_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == n_k - 1)
+    def _epilogue():
+        xs = xs_ref[:]  # [bm, 1] f32
+        g = acc_g[:].astype(jnp.float32) * xs * gs_ref[:]
+        u = acc_u[:].astype(jnp.float32) * xs * us_ref[:]
+        h = (g / (1.0 + jnp.exp(-g))) * u  # silu(g) * u
+        absmax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
+        hs = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+        hq_ref[:] = jnp.clip(jnp.round(h / hs), -127, 127).astype(jnp.int8)
+        hs_ref[:] = hs
+
+
+def w8a8_mlp_fused(
+    x_q8: jnp.ndarray,
+    x_scale: jnp.ndarray,
+    g_q8: jnp.ndarray,
+    g_scale: jnp.ndarray,
+    u_q8: jnp.ndarray,
+    u_scale: jnp.ndarray,
+    *,
+    block_m: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(x_q8 [M, K] i8, x_scale [M, 1] f32) x gate/up ([K, N] i8 + [N] f32)
+    -> (h_q8 [M, N] i8, h_scale [M, 1] f32), h = silu(x@G) * (x@U).
+
+    The quantize-epilogue experiment (VERDICT r3 #5): the whole SwiGLU tail
+    runs in VMEM against int32 MXU accumulators held across K blocks, so the
+    intermediate [M, N] activation never exists in HBM in bf16 and the next
+    (down_proj) matmul consumes int8 directly. The full [bm, N] row block
+    stays resident (N=11008 -> 2x11 MB int32 scratch at bm=256); v5e has
+    ~45 MB usable VMEM (BENCH_NOTES megakernel series)."""
+    M, K = x_q8.shape
+    N = g_q8.shape[-1]
+    bm = min(block_m, max(8, M))
+    bk = min(block_k, K)
+    pad_m = (-M) % bm
+    pad_k = (-K) % bk
+    if pad_m or pad_k:
+        x_q8 = jnp.pad(x_q8, ((0, pad_m), (0, pad_k)))
+    if pad_m:
+        x_scale = jnp.pad(x_scale, ((0, pad_m), (0, 0)), constant_values=1.0)
+    if pad_k:
+        g_q8 = jnp.pad(g_q8, ((0, pad_k), (0, 0)))
+        u_q8 = jnp.pad(u_q8, ((0, pad_k), (0, 0)))
+    Mp, Kp = x_q8.shape
+    n_k = Kp // bk
+
+    grid = (Mp // bm, n_k)
+    hq, hs = pl.pallas_call(
+        functools.partial(_fused_mlp_kernel, n_k=n_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, k: (i, k)),
+            pl.BlockSpec((bm, 1), lambda i, k: (i, 0)),
+            pl.BlockSpec((bk, N), lambda i, k: (k, 0)),
+            pl.BlockSpec((1, N), lambda i, k: (0, 0)),
+            pl.BlockSpec((bk, N), lambda i, k: (k, 0)),
+            pl.BlockSpec((1, N), lambda i, k: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, N), lambda i, k: (i, 0)),
+            pl.BlockSpec((bm, 1), lambda i, k: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Mp, N), jnp.int8),
+            jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bm, N), jnp.int32),
+            pltpu.VMEM((bm, N), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=int(
+                __import__("os").environ.get(
+                    "REVISIONLLM_FUSED_MLP_VMEM", str(100 * 2**20)
+                )
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * Mp * N * Kp,
+            bytes_accessed=Mp * Kp + 2 * Kp * N + Mp * N,
+            transcendentals=Mp * N,
+        ),
+        interpret=interpret,
+    )(x_q8, x_scale, g_q8, g_scale[None, :], u_q8, u_scale[None, :])
+    return hq[:M], hs[:M]
+
+
+def quantize_activation_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row absmax int8 quantization of an activation [..., D] ->
+    (q8 int8, scale f32 [..., 1]) — the dynamic-activation half of W8A8."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q8 = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q8, scale
+
+
+def w8a8_prequant_matmul(
+    x_q8: jnp.ndarray, x_scale: jnp.ndarray, w_q8: jnp.ndarray,
+    w_scale: jnp.ndarray, out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """int8 x int8 dot for an activation that is ALREADY quantized (the
+    fused-MLP epilogue's output) — no absmax pass."""
+    acc = jax.lax.dot_general(
+        x_q8, w_q8, (((x_q8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * x_scale * w_scale).astype(out_dtype)
+
+
+def w8a8_mlp_reference(x_q8, x_scale, g_q8, g_scale, u_q8, u_scale):
+    """jnp transcription of the fused kernel's math (f32 SwiGLU on int32
+    accumulators) for parity tests."""
+    g = jax.lax.dot_general(
+        x_q8, g_q8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * x_scale * g_scale[None, :]
+    u = jax.lax.dot_general(
+        x_q8, u_q8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * x_scale * u_scale[None, :]
+    h = (g / (1.0 + jnp.exp(-g))) * u
+    absmax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
+    hs = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    return jnp.clip(jnp.round(h / hs), -127, 127).astype(jnp.int8), hs
