@@ -209,15 +209,26 @@ def main():
     # second metric line (opt-in: the driver contract is ONE JSON line).
     # p50 single-query latency is a BASELINE.json north-star; the reference
     # at batch 1 takes ~16 s for the same 57-window movie (0.28 s/window).
-    if os.environ.get("BENCH_EMIT_P50", "0") == "1":
+    if os.environ.get("BENCH_EMIT_P50", "1") == "1":
         print(json.dumps({
             "metric": "p50_query_latency_stage1_dense_1h",
             "value": round(p50_s, 3),
             "unit": "seconds",
             "vs_baseline": round((0.28 * windows_per_query) / p50_s, 2),
         }))
-    if os.environ.get("BENCH_EMIT_E2E", "0") == "1":
-        bench_e2e(params)
+    # third line: the fused recursive pipeline. Time-guarded so a fully cold
+    # relay session (headline program server-compile ~7 min) can never push
+    # the driver bench past its budget — the headline metric is already out.
+    if os.environ.get("BENCH_EMIT_E2E", "1") == "1":
+        deadline = float(os.environ.get("BENCH_E2E_DEADLINE_S", "540"))
+        if time.time() - _T_START > deadline:
+            _phase(
+                f"skipping e2e section: {time.time() - _T_START:.0f}s elapsed "
+                f"> deadline {deadline:.0f}s (cold relay session); rerun "
+                "warm or raise BENCH_E2E_DEADLINE_S"
+            )
+        else:
+            bench_e2e(params)
 
 
 def bench_e2e(params=None):
