@@ -310,9 +310,21 @@ def bench_e2e(params=None):
     qc /= np.linalg.norm(qc)
     gt_sec, duration = (1000.0, 1100.0), 3600.0
 
+    profile = os.environ.get("BENCH_E2E_PROFILE", "0") == "1"
+
     def one_query(q: int):
+        t0 = time.time()
+
+        def mark(name):
+            nonlocal t0
+            if profile:
+                print(f"#   {name}: {(time.time() - t0) * 1e3:.0f} ms",
+                      file=sys.stderr, flush=True)
+                t0 = time.time()
+
         sentence = f"a red car {q}"
         g = eng1.ground_windows(feats, sentence, qf, qc, movie_key="bench_movie")
+        mark("stage1_ground")
         glog = {
             "video_id": "bench_movie", "task": "grounding",
             "query_id": f"q{q}", "answer": g["answers"],
@@ -321,8 +333,10 @@ def bench_e2e(params=None):
         clip_length = int(ecfg2.debug_window * ecfg2.feature_fps)
         nw = num_windows_strided(len(feats), clip_length, ecfg2.stride)
         gw = grounding_prefilter(glog, nw, ecfg2.stride, s2_batch)
+        mark("prefilter")
         r = eng2.retrieve(feats, sentence, qf, qc, grounding_windows=gw,
                           rng=np.random.default_rng(q), movie_key="bench_movie")
+        mark("stage2_retrieve")
         from revisionllm_tpu.ops.windows import get_ground_truth_windows
 
         ts, _ = get_ground_truth_windows(gt_sec[0], gt_sec[1], duration)
@@ -341,6 +355,7 @@ def bench_e2e(params=None):
             },
         }
         fused, ratio = M.fuse_retrieval_grounding([glog], [rlog])
+        mark("hit_and_fusion")
         return ratio
 
     _phase("e2e: warm-up query (compiles both engines' programs if cold)")

@@ -19,6 +19,9 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
+import sys
+import time
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -34,6 +37,18 @@ from revisionllm_tpu.models import revisionllm
 from revisionllm_tpu.models.multimodal import build_splice_plan, stack_plans
 from revisionllm_tpu.ops import windows as W
 from revisionllm_tpu.tokenization import tokenizer_image_token
+
+
+def _prof(label: str, t0: float) -> float:
+    """REVISIONLLM_ENGINE_PROFILE=1: stderr phase timings inside the
+    per-query engine path (host planning vs dispatch vs realize vs scoring)
+    — the diagnostic that located the stage-2 multi-pass decode residual."""
+    if os.environ.get("REVISIONLLM_ENGINE_PROFILE", "0") == "1":
+        print(
+            f"#     engine.{label}: {(time.time() - t0) * 1e3:.0f} ms",
+            file=sys.stderr, flush=True,
+        )
+    return time.time()
 
 
 @dataclasses.dataclass
@@ -261,10 +276,16 @@ class GroundingEngine:
         return out  # device arrays; realized by _read_chunk
 
     def _read_chunk(self, out) -> ChunkResult:
-        tokens = np.asarray(out["tokens"])
-        valid = np.asarray(out["valid"])
-        stats = np.asarray(out["entropy_stats"])
-        return ChunkResult(self._decode_answers(tokens, valid), stats)
+        # one device_get for the whole output tree: each np.asarray is a
+        # separate D2H round trip, and on a relay-attached TPU the per-call
+        # RPC latency (not the bytes) dominates these small reads
+        host = jax.device_get(
+            {k: out[k] for k in ("tokens", "valid", "entropy_stats")}
+        )
+        return ChunkResult(
+            self._decode_answers(host["tokens"], host["valid"]),
+            host["entropy_stats"],
+        )
 
     def _run_chunk_sync(self, plan_np, images, qf, qv) -> ChunkResult:
         return self._read_chunk(self._run_chunk(plan_np, images, qf, qv))
@@ -289,6 +310,7 @@ class GroundingEngine:
         feature buffer.
         """
         ecfg = self.eval_cfg
+        tp = time.time()
         clip_length = int(ecfg.debug_window * ecfg.feature_fps)
         if ecfg.baseline:
             # single window of the globally-resampled track (reference
@@ -336,6 +358,7 @@ class GroundingEngine:
         if query_feats is not None:
             qf = np.repeat(query_feats[None], chunk, axis=0)
             qv = np.ones(qf.shape[:2], dtype=bool)
+        tp = _prof("s1_setup", tp)
         # dispatch every chunk asynchronously, then realize: the host-side
         # padding/transfer of chunk N+1 overlaps the device decode of chunk N
         pending = []
@@ -349,11 +372,13 @@ class GroundingEngine:
                 end - start,
                 self._run_chunk(plan_np, rows, qf, qv, feats_dev=feats_dev),
             ))
+        tp = _prof("s1_dispatch", tp)
         col = 0 if ecfg.score == "max_entropy" else 2
         for n_valid, out in pending:
             res = self._read_chunk(out)
             answers.extend(res.answers[:n_valid])
             scores_entropy.extend(res.entropy_stats[:n_valid, col].tolist())
+        tp = _prof("s1_realize", tp)
 
         # proposal parsing + CLIP cosine scoring (reference :307-320)
         frames: Dict[int, Tuple[int, int]] = {}
@@ -420,6 +445,7 @@ class GroundingEngine:
             # k=3 with validity masking equals the reference's k=min(len,3):
             # invalid top-k picks are zeroed before pooling
             score_cos = [float(x) for x in scores_arr[:P]]
+        _prof("s1_score_cos", tp)
 
         if ecfg.normalize:
             if score_cos:
@@ -523,6 +549,7 @@ class GroundingEngine:
         device from the resident movie (see _device_gather_enabled).
         """
         ecfg = self.eval_cfg
+        tp = time.time()
         rng = rng or np.random.default_rng(42)
         clip_length = int(ecfg.debug_window * ecfg.feature_fps)
         bounds = W.strided_window_bounds(len(features), clip_length, ecfg.stride)
@@ -542,6 +569,7 @@ class GroundingEngine:
         # commented out there) — a pretrained backbone absorbs the mismatch;
         # question_key lets small-model runs keep train == eval phrasing
         ids = self._prompt_ids(sentence, QUESTIONS[question_key])
+        tp = _prof("s2_setup", tp)
 
         # Assemble every (zoom, call) pass first: each sees exactly ecfg.batch
         # window tokens (windows repeated `zoom` times), so ALL multi-scale
@@ -586,10 +614,20 @@ class GroundingEngine:
         answers: List[str] = []
         mean_entropy: List[float] = []
         max_entropy: List[float] = []
-        row_batch = max(len(ecfg.hierarchy_zooms), 1)
-        # dispatch every row-batch asynchronously, then realize: host-side
-        # index assembly + token decode of pass k overlaps device compute of
-        # pass k+1 (same structure as ground_windows' pending list)
+        # All (zoom, call) passes are rows of ONE row-stacked program (padded
+        # to a fixed bucket so every movie shares one compiled shape): decode
+        # is weight-bandwidth-bound, so each extra dispatch re-reads the full
+        # int8 weight set per generated token — three 3-row dispatches cost
+        # ~3x the decode of one bucketed program (measured: e2e stage-2
+        # 938 -> 625 ms/query, BENCH_NOTES round 4). Bucket 7 = the pass
+        # count of the canonical <=100-window query at zooms (4,2,1) (the
+        # grounding prefilter caps V at eval batch, so the recursive
+        # pipeline never exceeds it); 7 measured 9% faster than 8 — the row
+        # axis needs no power-of-two. More passes than the bucket (long
+        # movies, no prefilter) fall back to multiple async dispatches.
+        row_batch = int(os.environ.get("REVISIONLLM_S2_ROW_BUCKET", "7"))
+        row_batch = max(row_batch, 1)
+        tp = _prof("s2_plan", tp)
         pending = []
         for rstart in range(0, len(row_idx), row_batch):
             rows = row_idx[rstart : rstart + row_batch]
@@ -607,12 +645,14 @@ class GroundingEngine:
             pending.append((
                 n_rows, self._run_chunk(plan_np, images, qf, qv, feats_dev=feats_dev)
             ))
+        tp = _prof("s2_dispatch", tp)
         for n_rows, out in pending:
             res = self._read_chunk(out)
             answers.extend(res.answers[:n_rows])
             for r in range(n_rows):
                 max_entropy.append(1.0 / max(res.entropy_stats[r, 0], 1e-9))
                 mean_entropy.append(1.0 / max(res.entropy_stats[r, 2], 1e-9))
+        tp = _prof("s2_realize", tp)
 
         # CLIP cosine of each chosen window (reference
         # eval_nlq_retrieval_e2e2.py:360-386): map the parsed answer back
@@ -684,6 +724,7 @@ class GroundingEngine:
                     score_cos.append(0.0)  # reference :366: torch.tensor([0])
                 else:
                     score_cos.extend(next(it) for _ in ns)
+        _prof("s2_score_cos", tp)
 
         return {
             "answers": answers,
