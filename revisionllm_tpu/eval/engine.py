@@ -249,7 +249,7 @@ class GroundingEngine:
         index tensor gathered on device."""
         dtype = jnp.dtype(self.llama_cfg.dtype)
         spl = self._shared_prefix_len(plan_np)
-        plan = {k: jnp.asarray(v) for k, v in plan_np.items()}
+        plan = jax.device_put(plan_np)  # one transfer dispatch for the tree
         if query_feats is not None:
             qf = jnp.asarray(query_feats, dtype)
             qv = jnp.asarray(query_valid) if query_valid is not None else None
@@ -279,16 +279,35 @@ class GroundingEngine:
         # one device_get for the whole output tree: each np.asarray is a
         # separate D2H round trip, and on a relay-attached TPU the per-call
         # RPC latency (not the bytes) dominates these small reads
+        tp = time.time()
+        if os.environ.get("REVISIONLLM_ENGINE_PROFILE", "0") == "1":
+            np.asarray(out["entropy_stats"])  # forces program completion
+            tp = _prof("rc_program_wait", tp)
         host = jax.device_get(
             {k: out[k] for k in ("tokens", "valid", "entropy_stats")}
         )
-        return ChunkResult(
+        tp = _prof("rc_fetch", tp)
+        res = ChunkResult(
             self._decode_answers(host["tokens"], host["valid"]),
             host["entropy_stats"],
         )
+        _prof("rc_decode", tp)
+        return res
 
     def _run_chunk_sync(self, plan_np, images, qf, qv) -> ChunkResult:
         return self._read_chunk(self._run_chunk(plan_np, images, qf, qv))
+
+    def _broadcast_query_feats(self, query_feats: np.ndarray, n: int):
+        """Ship the [Q, d] query features ONCE and broadcast to [n, Q, d] ON
+        DEVICE. The host np.repeat + n-times-larger H2D transfer were a
+        measurable per-query cost (relay RPC + this box's throttled host
+        memcpy); the compiled program sees the same shape/dtype either way."""
+        dtype = jnp.dtype(self.llama_cfg.dtype)
+        qf = jnp.broadcast_to(
+            jnp.asarray(query_feats, dtype), (n,) + np.shape(query_feats)
+        )
+        qv = jnp.ones(qf.shape[:2], dtype=bool)
+        return qf, qv
 
     # ---------------------------------------------------------------- stage 1
 
@@ -356,8 +375,7 @@ class GroundingEngine:
         plan_np = stack_plans([plan] * chunk)
         qf = qv = None
         if query_feats is not None:
-            qf = np.repeat(query_feats[None], chunk, axis=0)
-            qv = np.ones(qf.shape[:2], dtype=bool)
+            qf, qv = self._broadcast_query_feats(query_feats, chunk)
         tp = _prof("s1_setup", tp)
         # dispatch every chunk asynchronously, then realize: the host-side
         # padding/transfer of chunk N+1 overlaps the device decode of chunk N
@@ -615,18 +633,28 @@ class GroundingEngine:
         mean_entropy: List[float] = []
         max_entropy: List[float] = []
         # All (zoom, call) passes are rows of ONE row-stacked program (padded
-        # to a fixed bucket so every movie shares one compiled shape): decode
-        # is weight-bandwidth-bound, so each extra dispatch re-reads the full
-        # int8 weight set per generated token — three 3-row dispatches cost
-        # ~3x the decode of one bucketed program (measured: e2e stage-2
-        # 938 -> 625 ms/query, BENCH_NOTES round 4). Bucket 7 = the pass
-        # count of the canonical <=100-window query at zooms (4,2,1) (the
-        # grounding prefilter caps V at eval batch, so the recursive
-        # pipeline never exceeds it); 7 measured 9% faster than 8 — the row
-        # axis needs no power-of-two. More passes than the bucket (long
-        # movies, no prefilter) fall back to multiple async dispatches.
-        row_batch = int(os.environ.get("REVISIONLLM_S2_ROW_BUCKET", "7"))
-        row_batch = max(row_batch, 1)
+        # to a small set of shape buckets): decode is weight-bandwidth-bound,
+        # so each extra dispatch re-reads the full int8 weight set per
+        # generated token — three 3-row dispatches cost ~3x the decode of one
+        # bucketed program (measured: e2e stage-2 938 -> ~450 ms/query,
+        # BENCH_NOTES round 4). Bucket 7 = the pass count of a 100-window
+        # query at zooms (4,2,1), the prefilter's top-up target; 10 covers
+        # the dense-prefilter case (~150 windows). The row axis needs no
+        # power of two (7 measured 9% faster than 8). Pass counts above the
+        # largest bucket fall back to multiple async dispatches.
+        buckets = sorted(
+            int(b)
+            for b in os.environ.get(
+                "REVISIONLLM_S2_ROW_BUCKETS", "7,10,14"
+            ).split(",")
+        )
+        n_pass = max(len(row_idx), 1)
+        fit = [b for b in buckets if b >= n_pass]
+        row_batch = min(fit) if fit else max(buckets)
+        plan_np = stack_plans([plan] * row_batch)
+        qf = qv = None
+        if query_feats is not None:
+            qf, qv = self._broadcast_query_feats(query_feats, row_batch)
         tp = _prof("s2_plan", tp)
         pending = []
         for rstart in range(0, len(row_idx), row_batch):
@@ -637,11 +665,6 @@ class GroundingEngine:
             images = np.stack(rows, axis=0)  # [R, num_videos, T] idx or frames
             if not use_dg:
                 images = features[images]  # [R, num_videos, T, d] host gather
-            plan_np = stack_plans([plan] * row_batch)
-            qf = qv = None
-            if query_feats is not None:
-                qf = np.repeat(query_feats[None], row_batch, axis=0)
-                qv = np.ones(qf.shape[:2], dtype=bool)
             pending.append((
                 n_rows, self._run_chunk(plan_np, images, qf, qv, feats_dev=feats_dev)
             ))
