@@ -373,3 +373,73 @@ class TestGroundingPrefilter:
         assert out["done"] == 2 and out["errors"] == 0
         logs = M.load_prediction_logs(str(tmp_path / "s2pf"), 1)
         assert len(logs) == 2
+
+
+class TestRowBucketSelection:
+    """retrieve() row-stacks ALL zoom passes into the smallest fitting shape
+    bucket (REVISIONLLM_S2_ROW_BUCKETS): one dispatch per bucket group, last
+    group padded to its bucket. Decode is weight-bandwidth-bound, so dispatch
+    count is the serving cost driver (BENCH_NOTES round 4)."""
+
+    def _engine(self):
+        from revisionllm_tpu.eval.engine import ChunkResult
+
+        cfg = LlamaConfig.tiny()
+        cfg = cfg.__class__(**{**cfg.__dict__, "dtype": "float32"})
+        acfg = AdapterConfig(
+            d_model=16, num_heads=4, num_layers=2, ffn_dim=32,
+            hidden_size=cfg.hidden_size, clip_adapter_text=True,
+            hierarchy=True, feature_mode="cls",
+        )
+        params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+        vision = revisionllm.init_vision_params(
+            acfg, jax.random.PRNGKey(1), d_in=16
+        )
+        ecfg = EvalConfig(
+            debug_window=20, num_frames=16, feature_fps=2.0, batch=8,
+            stride=5, max_new_tokens=4, hierarchy_zooms=(2, 1),
+        )
+        eng = GroundingEngine(cfg, acfg, params, vision, FakeTokenizer(), ecfg)
+        calls = []
+
+        def fake_run(plan_np, images, qf, qv, feats_dev=None):
+            shape = tuple(np.asarray(images).shape)
+            calls.append(shape)
+            return shape[0]
+
+        def fake_read(n):
+            return ChunkResult(
+                ["Not Present"] * n, np.ones((n, 4), np.float32)
+            )
+
+        eng._run_chunk = fake_run
+        eng._read_chunk = fake_read
+        return eng, calls
+
+    # L=75 frames, clip 40, stride 5 (stride divides the window: step 8)
+    # -> V=9 windows; zooms (2,1) over batch 8 -> ceil(9/4)+ceil(9/8) = 5
+    # passes, each 8 window-rows
+    def _feats(self):
+        return np.zeros((75, 16), np.float32)
+
+    def test_default_buckets_one_dispatch(self):
+        eng, calls = self._engine()
+        res = eng.retrieve(self._feats(), "a query")
+        assert calls == [(7, 8, 16)]  # 5 passes padded to the 7-row bucket
+        assert len(res["answers"]) == 5
+        assert res["hierarchy_zooms"] == [2, 2, 2, 1, 1]
+
+    def test_exact_bucket_no_padding(self, monkeypatch):
+        monkeypatch.setenv("REVISIONLLM_S2_ROW_BUCKETS", "5,10")
+        eng, calls = self._engine()
+        res = eng.retrieve(self._feats(), "a query")
+        assert calls == [(5, 8, 16)]
+        assert len(res["answers"]) == 5
+
+    def test_fallback_groups_of_max_bucket(self, monkeypatch):
+        monkeypatch.setenv("REVISIONLLM_S2_ROW_BUCKETS", "2")
+        eng, calls = self._engine()
+        res = eng.retrieve(self._feats(), "a query")
+        # 5 passes in groups of 2, tail padded
+        assert calls == [(2, 8, 16), (2, 8, 16), (2, 8, 16)]
+        assert len(res["answers"]) == 5
