@@ -206,7 +206,10 @@ def main():
         file=sys.stderr,
     )
     print(json.dumps(result))
-    # second metric line (opt-in: the driver contract is ONE JSON line).
+    # second metric line. A default run prints up to THREE JSON lines
+    # (headline q/s, p50 latency, fused-pipeline q/s) — the driver keys off
+    # metric names and has recorded all three since BENCH_r04.json; set
+    # BENCH_EMIT_P50=0 / BENCH_EMIT_E2E=0 for a strict single-line run.
     # p50 single-query latency is a BASELINE.json north-star; the reference
     # at batch 1 takes ~16 s for the same 57-window movie (0.28 s/window).
     if os.environ.get("BENCH_EMIT_P50", "1") == "1":
@@ -229,9 +232,18 @@ def main():
             )
         else:
             bench_e2e(params)
+    # fourth line: multi-query batched throughput (the reference's
+    # throughput mode is a 16-way SLURM job array, eval_nlq_negative.py:
+    # 179-180; here Q queries share chunks + one row-stacked stage-2).
+    if os.environ.get("BENCH_EMIT_MQ", "1") == "1":
+        deadline = float(os.environ.get("BENCH_E2E_DEADLINE_S", "540"))
+        if time.time() - _T_START > deadline:
+            _phase("skipping multi-query section: past deadline (cold session)")
+        else:
+            bench_e2e(params, mq=int(os.environ.get("BENCH_MQ_Q", "4")))
 
 
-def bench_e2e(params=None):
+def bench_e2e(params=None, mq: int = 0):
     """The FUSED recursive pipeline, timed as ONE run per query: stage-1
     dense grounding over every window of a 1-hour movie -> stage-2
     hierarchical retrieval restricted by the grounding prefilter
@@ -245,6 +257,19 @@ def bench_e2e(params=None):
     vs_baseline: reference runs the same recursive procedure at batch 1 per
     A100: ~16 s stage-1 (57 windows x 0.28 s) + ~2.4 s stage-2 (6 passes,
     ~0.4 s each) per query => ~0.0544 q/s.
+
+    mq > 0: the multi-query BATCHED mode — mq queries run through
+    ground_windows_batch (rows packed across queries into shared chunks) +
+    retrieve_batch (all queries' zoom passes row-stacked into as few
+    bucket-shaped programs as fit, amortizing the weight-bandwidth-bound
+    decode across queries). Emits
+    end_to_end_queries_per_sec_per_chip_recursive_1h_batched.
+
+    Harness caveats (both modes): weights are ZEROS in the int8 serving
+    layout (timing is weight-value independent; accuracy is meaningless
+    here), the tokenizer is a FakeTokenizer, and an untrained model answers
+    every window, which forces stage-2's dense 10-row bucket — a trained
+    model stays on the cheaper 7-row program, so the number is conservative.
     """
     import jax
     import jax.numpy as jnp
@@ -311,6 +336,100 @@ def bench_e2e(params=None):
     gt_sec, duration = (1000.0, 1100.0), 3600.0
 
     profile = os.environ.get("BENCH_E2E_PROFILE", "0") == "1"
+
+    if mq:
+        # extend the stage-2 row buckets so mq queries' passes (10 each in
+        # the dense-prefilter case) fit ONE program per batch
+        os.environ.setdefault(
+            "REVISIONLLM_S2_ROW_BUCKETS_MQ", "7,10,14,20,28,40"
+        )
+        buckets_mq = os.environ["REVISIONLLM_S2_ROW_BUCKETS_MQ"]
+
+        def one_batch(b: int) -> int:
+            old = os.environ.get("REVISIONLLM_S2_ROW_BUCKETS")
+            queries = [
+                {"sentence": f"a red car {b}_{i}", "query_feats": qf,
+                 "query_cls": qc}
+                for i in range(mq)
+            ]
+            glist = eng1.ground_windows_batch(
+                feats, queries, movie_key="bench_movie"
+            )
+            clip_length = int(ecfg2.debug_window * ecfg2.feature_fps)
+            nw = num_windows_strided(len(feats), clip_length, ecfg2.stride)
+            rqueries = []
+            glogs = []
+            for i, g in enumerate(glist):
+                glog = {
+                    "video_id": "bench_movie", "task": "grounding",
+                    "query_id": f"q{b}_{i}", "answer": g["answers"],
+                    "info": {"iou": [0.0] * len(g["scores"]),
+                             "scores": g["scores"]},
+                }
+                glogs.append(glog)
+                gw = grounding_prefilter(glog, nw, ecfg2.stride, s2_batch)
+                rqueries.append({
+                    **queries[i], "grounding_windows": gw,
+                    "rng": np.random.default_rng(b * mq + i),
+                })
+            os.environ["REVISIONLLM_S2_ROW_BUCKETS"] = buckets_mq
+            try:
+                rlist = eng2.retrieve_batch(
+                    feats, rqueries, movie_key="bench_movie"
+                )
+            finally:
+                if old is None:
+                    os.environ.pop("REVISIONLLM_S2_ROW_BUCKETS", None)
+                else:
+                    os.environ["REVISIONLLM_S2_ROW_BUCKETS"] = old
+            from revisionllm_tpu.ops.windows import get_ground_truth_windows
+
+            ts, _ = get_ground_truth_windows(gt_sec[0], gt_sec[1], duration)
+            for i, r in enumerate(rlist):
+                frames, ious = M.stage2_window_hit(
+                    r["answers"], ts, r["starts"], r["indexes"],
+                    r["hierarchy_zooms"], r["grounding_windows"], s2_batch,
+                )
+                rlog = {
+                    "video_id": "bench_movie", "task": "grounding",
+                    "query_id": f"q{b}_{i}", "answer": r["answers"],
+                    "info": {
+                        "gt": ts, "frames": frames, "iou": ious,
+                        "score_cos": r["score_cos"],
+                        "mean_entropy": r["mean_entropy"],
+                        "max_entropy": r["max_entropy"],
+                        "hierarchy_zooms": r["hierarchy_zooms"],
+                    },
+                }
+                M.fuse_retrieval_grounding([glogs[i]], [rlog])
+            return mq
+
+        _phase(f"mq: warm-up batch (Q={mq}; compiles batched programs if cold)")
+        one_batch(0)
+        iters = int(os.environ.get("BENCH_MQ_ITERS", "4"))
+        _phase(f"mq: timing {iters} batches of {mq}")
+        lat = []
+        for b in range(1, iters + 1):
+            t0 = time.time()
+            nq = one_batch(b)
+            lat.append((time.time() - t0) / nq)
+        lat = np.sort(np.asarray(lat))
+        p50 = float(lat[len(lat) // 2])
+        qps = float(len(lat) / lat.sum())
+        ref = 0.0544
+        print(
+            f"# mq Q={mq} p50={p50:.2f}s/query qps={qps:.4f}",
+            file=sys.stderr,
+        )
+        print(json.dumps({
+            "metric": "end_to_end_queries_per_sec_per_chip_recursive_1h_batched",
+            "value": round(qps, 4),
+            "unit": "queries/sec/chip",
+            "vs_baseline": round(qps / ref, 2),
+            "p50_s_per_query": round(p50, 3),
+            "batch_queries": mq,
+        }))
+        return
 
     def one_query(q: int):
         t0 = time.time()

@@ -51,6 +51,34 @@ def _prof(label: str, t0: float) -> float:
     return time.time()
 
 
+def _map_retrieval_answers(
+    answers: Sequence[str],
+    inv_entropy: Sequence[float],
+    starts: Sequence[int],
+    batch: int,
+    num_candidates: int,
+) -> Tuple[List[int], List[float]]:
+    """Map per-pass 'In video N' answers to corpus candidate ids + scores.
+
+    The tail pass overlaps earlier passes (start = V - batch) and pads rows
+    by repeating the last candidate when V < batch, so (a) an answer pointing
+    at a padded slot maps to the candidate it duplicates, and (b) duplicate
+    candidates across passes keep only their best score — otherwise repeats
+    push the GT's rank later and distort R@K/MedR."""
+    best: Dict[int, float] = {}
+    for p, a in enumerate(answers):
+        n = M.parse_single(a)
+        if n is None:
+            continue
+        n_rows = min(batch, num_candidates - starts[p])  # real rows this pass
+        cand = starts[p] + min(max(n, 0), n_rows - 1)
+        s = inv_entropy[p]
+        if s > best.get(cand, float("-inf")):
+            best[cand] = s
+    chosen = list(best.keys())
+    return chosen, [best[c] for c in chosen]
+
+
 @dataclasses.dataclass
 class ChunkResult:
     answers: List[str]
@@ -118,7 +146,12 @@ class GroundingEngine:
 
     def _features_to_device(self, features: np.ndarray, movie_key=None):
         """[ctx, d] numpy -> padded [ctxp, d] f32 device array, cached by
-        movie_key so consecutive same-movie queries skip the transfer."""
+        movie_key so consecutive same-movie queries skip the transfer.
+
+        The cache is keyed ONLY by (movie_key, shape): callers must make
+        movie_key unique per feature CONTENT (e.g. include the source path,
+        as eval/msrvtt.py does) — reusing a key for different features of the
+        same shape silently serves the stale buffer."""
         ctx, d = features.shape
         ctxp = -(-ctx // self._CTX_BUCKET) * self._CTX_BUCKET
         key = (movie_key, ctx, d)
@@ -164,6 +197,15 @@ class GroundingEngine:
             mesh = self.mesh
 
             def body(params, vision, plan, images, query_feats, query_valid):
+                plan = dict(plan)
+                qsel = plan.pop("qsel", None)
+                if qsel is not None:
+                    # multi-query chunk: rows mix queries, so query features
+                    # ride as ONE [Q, Qtok, d] device stack (uploaded once
+                    # per batch) gathered per row by the tiny qsel index —
+                    # the per-row host stack would re-ship ~2.5 MB per chunk
+                    query_feats = query_feats[qsel]
+                    query_valid = query_valid[qsel]
                 if mesh is not None:
                     from revisionllm_tpu.parallel.mesh import BATCH_AXES
                     from revisionllm_tpu.parallel.serve import batch_sharding
@@ -260,6 +302,7 @@ class GroundingEngine:
             key = (
                 "gather", feats_dev.shape, idx_j.shape,
                 plan["text_ids"].shape, None if qf is None else qf.shape, spl,
+                "qsel" in plan_np,
             )
             out = self._get_program(key, shared_prefix_len=spl, gather=True)(
                 self.params, self.vision_params, plan, feats_dev, idx_j, qf, qv
@@ -268,7 +311,7 @@ class GroundingEngine:
         images_j = jnp.asarray(images, dtype)
         key = (
             images_j.shape, plan["text_ids"].shape,
-            None if qf is None else qf.shape, spl,
+            None if qf is None else qf.shape, spl, "qsel" in plan_np,
         )
         out = self._get_program(key, shared_prefix_len=spl)(
             self.params, self.vision_params, plan, images_j, qf, qv
@@ -311,6 +354,37 @@ class GroundingEngine:
 
     # ---------------------------------------------------------------- stage 1
 
+    def _stage1_plan_idx(self, ctx_len: int) -> np.ndarray:
+        """Window planning for dense grounding: [n, num_frames] global frame
+        indices per window (baseline / plus_baseline variants included).
+        Returns an empty array when the movie is shorter than one window."""
+        ecfg = self.eval_cfg
+        clip_length = int(ecfg.debug_window * ecfg.feature_fps)
+        if ecfg.baseline:
+            # single window of the globally-resampled track (reference
+            # eval_nlq_negative.py:220-228: resample to clip_length frames,
+            # evaluate windowidx=[1]). Index maps compose, so the resample
+            # stays an index transform in the device-gather path.
+            global_idx = np.linspace(0, ctx_len - 1, clip_length, dtype=np.int32)
+            bounds = W.dense_window_bounds(clip_length, clip_length)
+            bounds = bounds[1:2] if len(bounds) > 1 else bounds[:1]
+            plan_idx = global_idx[
+                np.asarray(W.window_frame_indices(bounds, ecfg.num_frames))
+            ]
+        else:
+            bounds = W.dense_window_bounds(ctx_len, clip_length)
+            if not bounds:
+                return np.zeros((0, ecfg.num_frames), np.int32)
+            plan_idx = np.asarray(
+                W.window_frame_indices(bounds, ecfg.num_frames), np.int32
+            )
+        if len(plan_idx) and ecfg.plus_baseline:
+            # append one whole-movie window (reference :237-240); its answers
+            # map through stage1_iou(plus_baseline=True) with offset 0
+            whole_idx = np.linspace(0, ctx_len - 1, ecfg.num_frames, dtype=np.int32)
+            plan_idx = np.concatenate([plan_idx, whole_idx[None]], axis=0)
+        return plan_idx
+
     def ground_windows(
         self,
         features: np.ndarray,
@@ -330,34 +404,9 @@ class GroundingEngine:
         """
         ecfg = self.eval_cfg
         tp = time.time()
-        clip_length = int(ecfg.debug_window * ecfg.feature_fps)
-        if ecfg.baseline:
-            # single window of the globally-resampled track (reference
-            # eval_nlq_negative.py:220-228: resample to clip_length frames,
-            # evaluate windowidx=[1]). Index maps compose, so the resample
-            # stays an index transform in the device-gather path.
-            global_idx = np.linspace(0, len(features) - 1, clip_length, dtype=np.int32)
-            bounds = W.dense_window_bounds(clip_length, clip_length)
-            bounds = bounds[1:2] if len(bounds) > 1 else bounds[:1]
-            plan_idx = global_idx[
-                np.asarray(W.window_frame_indices(bounds, ecfg.num_frames))
-            ]
-        else:
-            bounds = W.dense_window_bounds(len(features), clip_length)
-            if not bounds:
-                return {"answers": [], "scores_entropy": [], "score_cos": [], "frames": {}}
-            plan_idx = np.asarray(
-                W.window_frame_indices(bounds, ecfg.num_frames), np.int32
-            )
+        plan_idx = self._stage1_plan_idx(len(features))
         if not len(plan_idx):
             return {"answers": [], "scores_entropy": [], "score_cos": [], "frames": {}}
-        if ecfg.plus_baseline:
-            # append one whole-movie window (reference :237-240); its answers
-            # map through stage1_iou(plus_baseline=True) with offset 0
-            whole_idx = np.linspace(
-                0, len(features) - 1, ecfg.num_frames, dtype=np.int32
-            )
-            plan_idx = np.concatenate([plan_idx, whole_idx[None]], axis=0)
 
         use_dg = self._device_gather_enabled()
         feats_dev = self._features_to_device(features, movie_key) if use_dg else None
@@ -397,6 +446,28 @@ class GroundingEngine:
             answers.extend(res.answers[:n_valid])
             scores_entropy.extend(res.entropy_stats[:n_valid, col].tolist())
         tp = _prof("s1_realize", tp)
+        return self._stage1_finalize(
+            answers, scores_entropy, plan_idx, features, windows, feats_dev,
+            query_cls, tp,
+        )
+
+    def _stage1_finalize(
+        self,
+        answers: List[str],
+        scores_entropy: List[float],
+        plan_idx: np.ndarray,
+        features: np.ndarray,
+        windows: Optional[np.ndarray],
+        feats_dev,
+        query_cls: Optional[np.ndarray],
+        tp: float,
+    ) -> Dict[str, Any]:
+        """Per-query scoring tail of ground_windows: proposal parsing, CLIP
+        cosine, normalization + merge (reference eval_nlq_negative.py:307-337).
+        Shared by the single-query and multi-query batched paths."""
+        ecfg = self.eval_cfg
+        use_dg = self._device_gather_enabled()
+        n = len(plan_idx)
 
         # proposal parsing + CLIP cosine scoring (reference :307-320)
         frames: Dict[int, Tuple[int, int]] = {}
@@ -497,6 +568,130 @@ class GroundingEngine:
             "num_windows": n,
         }
 
+    def ground_windows_batch(
+        self,
+        features: np.ndarray,
+        queries: Sequence[Dict[str, Any]],
+        question_key: str = "mad_grounding",
+        movie_key=None,
+    ) -> List[Dict[str, Any]]:
+        """Dense grounding for MULTIPLE queries over one movie in shared
+        chunks — the throughput mode (reference's equivalent is a 16-way
+        SLURM job array, eval_nlq_negative.py:179-180; here queries batch
+        into the same device programs instead).
+
+        queries: each {"sentence": str, "query_feats": [Qt, d] | None,
+        "query_cls": [d] | None}. Rows from all queries pack densely into
+        chunks of eval_cfg.batch (a 57-window movie wastes 7/64 rows per
+        query when queries are dispatched one at a time); per-row splice
+        plans carry each query's prompt, and query features ride as one
+        [Q, Qt, d] device stack gathered per row via the plan's qsel index.
+        Results are identical to per-query ground_windows calls (rows are
+        independent under right-padded attention); parity is pinned by
+        tests/test_engine_batch.py.
+        """
+        ecfg = self.eval_cfg
+        tp = time.time()
+        Q = len(queries)
+        if Q == 0:
+            return []
+        plan_idx = self._stage1_plan_idx(len(features))
+        empty = {"answers": [], "scores_entropy": [], "score_cos": [], "frames": {}}
+        if not len(plan_idx):
+            return [dict(empty) for _ in range(Q)]
+
+        use_dg = self._device_gather_enabled()
+        feats_dev = self._features_to_device(features, movie_key) if use_dg else None
+        windows = None if use_dg else features[plan_idx]
+
+        chunk = max(ecfg.batch, 1)
+        n = len(plan_idx)
+
+        # per-query plans share ONE max_len (the longest prompt) so every
+        # chunk compiles to the same shape; right-padding + per-row lengths
+        # keep shorter prompts exact
+        ids_list = [
+            self._prompt_ids(q["sentence"], QUESTIONS[question_key])
+            for q in queries
+        ]
+        max_len = max(len(i) for i in ids_list) - 1 + ecfg.num_frames \
+            + ecfg.max_new_tokens
+        plans = [
+            build_splice_plan(ids, ecfg.num_frames, max_len) for ids in ids_list
+        ]
+
+        # query features -> one [Q, Qt, d] stack (padded to the longest)
+        any_qf = any(q.get("query_feats") is not None for q in queries)
+        if any_qf and not all(q.get("query_feats") is not None for q in queries):
+            # an all-False query mask is NOT equivalent to the no-qf program
+            # (T2V cross-attention over an empty set); batches must be
+            # uniform — split them by qf presence instead
+            raise ValueError(
+                "ground_windows_batch: queries must uniformly have or lack "
+                "query_feats"
+            )
+        qf_all = qv_all = None
+        if any_qf:
+            dtype = jnp.dtype(self.llama_cfg.dtype)
+            qts = [
+                0 if q.get("query_feats") is None else len(q["query_feats"])
+                for q in queries
+            ]
+            qt = max(qts)
+            d = features.shape[-1]
+            qf_np = np.zeros((Q, qt, d), np.float32)
+            qv_np = np.zeros((Q, qt), bool)
+            for i, q in enumerate(queries):
+                if qts[i]:
+                    qf_np[i, : qts[i]] = q["query_feats"]
+                    qv_np[i, : qts[i]] = True
+            qf_all = jnp.asarray(qf_np, dtype)
+            qv_all = jnp.asarray(qv_np)
+
+        # global row list: query-major so same-query rows stay contiguous
+        row_q = np.repeat(np.arange(Q, dtype=np.int32), n)
+        row_w = np.tile(np.arange(n, dtype=np.int32), Q)
+        total = Q * n
+        tp = _prof("s1b_setup", tp)
+
+        pending = []
+        for start in range(0, total, chunk):
+            end = min(start + chunk, total)
+            sel_q = row_q[start:end]
+            sel_w = row_w[start:end]
+            if end - start < chunk:  # pad tail chunk to the compiled shape
+                pad = chunk - (end - start)
+                sel_q = np.concatenate([sel_q, np.repeat(sel_q[-1:], pad)])
+                sel_w = np.concatenate([sel_w, np.repeat(sel_w[-1:], pad)])
+            plan_np = stack_plans([plans[qi] for qi in sel_q])
+            if qf_all is not None:
+                plan_np["qsel"] = sel_q
+            rows = plan_idx[sel_w] if use_dg else windows[sel_w]
+            pending.append((
+                end - start,
+                self._run_chunk(plan_np, rows, qf_all, qv_all, feats_dev=feats_dev),
+            ))
+        tp = _prof("s1b_dispatch", tp)
+
+        col = 0 if ecfg.score == "max_entropy" else 2
+        answers_all: List[str] = []
+        entropy_all: List[float] = []
+        for n_valid, out in pending:
+            res = self._read_chunk(out)
+            answers_all.extend(res.answers[:n_valid])
+            entropy_all.extend(res.entropy_stats[:n_valid, col].tolist())
+        tp = _prof("s1b_realize", tp)
+
+        results = []
+        for qi, q in enumerate(queries):
+            results.append(self._stage1_finalize(
+                answers_all[qi * n : (qi + 1) * n],
+                entropy_all[qi * n : (qi + 1) * n],
+                plan_idx, features, windows, feats_dev,
+                q.get("query_cls"), tp,
+            ))
+        return results
+
     def caption_windows(
         self,
         features: np.ndarray,
@@ -547,6 +742,59 @@ class GroundingEngine:
 
     # ---------------------------------------------------------------- stage 2
 
+    @staticmethod
+    def _stage2_row_bucket(n_pass: int) -> int:
+        """Pick the smallest row-shape bucket that fits `n_pass` stage-2
+        passes (REVISIONLLM_S2_ROW_BUCKETS). Pass counts above the largest
+        bucket fall back to multiple async dispatches of that bucket."""
+        buckets = sorted(
+            int(b)
+            for b in os.environ.get(
+                "REVISIONLLM_S2_ROW_BUCKETS", "7,10,14"
+            ).split(",")
+        )
+        fit = [b for b in buckets if b >= max(n_pass, 1)]
+        return min(fit) if fit else max(buckets)
+
+    def _stage2_passes(self, win_idx: np.ndarray, rng: np.random.Generator):
+        """Assemble every (zoom, call) pass: each sees exactly ecfg.batch
+        window tokens (windows repeated `zoom` times), so ALL multi-scale
+        passes share one shape and run as ROWS of a single batched program —
+        the reference issues one generate call per pass
+        (eval_nlq_retrieval_e2e2.py:337-353); here a 100-window query with
+        zooms [4,2,1] is one LLM call."""
+        ecfg = self.eval_cfg
+        starts: List[int] = []
+        indexes: List[np.ndarray] = []
+        hierarchy_zooms: List[int] = []
+        call_in_zoom: List[int] = []  # the reference's inner-loop `i` (:339)
+        row_idx: List[np.ndarray] = []  # [num_videos, T] frame idx per row
+
+        V = len(win_idx)
+        for zoom in ecfg.hierarchy_zooms:
+            batch = max(ecfg.batch // zoom, 1)
+            n_calls = int(np.ceil(V / batch))
+            for i in range(n_calls):
+                call_in_zoom.append(i)
+                start = i * batch
+                end = min(start + batch, V)
+                if end - start < batch:
+                    start = max(end - batch, 0)
+                starts.append(start)
+                row = win_idx[start : start + batch]
+                if len(row) < batch:
+                    row = np.concatenate(
+                        [row, np.repeat(row[-1:], batch - len(row), axis=0)], 0
+                    )
+                perm = rng.permutation(row.shape[0])
+                indexes.append(perm)
+                row = row[perm]
+                if zoom > 1:
+                    row = np.repeat(row, zoom, axis=0)
+                hierarchy_zooms.append(zoom)
+                row_idx.append(row)
+        return starts, indexes, hierarchy_zooms, call_in_zoom, row_idx
+
     def retrieve(
         self,
         features: np.ndarray,
@@ -589,42 +837,9 @@ class GroundingEngine:
         ids = self._prompt_ids(sentence, QUESTIONS[question_key])
         tp = _prof("s2_setup", tp)
 
-        # Assemble every (zoom, call) pass first: each sees exactly ecfg.batch
-        # window tokens (windows repeated `zoom` times), so ALL multi-scale
-        # passes share one shape and run as ROWS of a single batched program —
-        # the reference issues one generate call per pass
-        # (eval_nlq_retrieval_e2e2.py:337-353); here a 100-window query with
-        # zooms [4,2,1] is one LLM call.
-        starts: List[int] = []
-        indexes: List[np.ndarray] = []
-        hierarchy_zooms: List[int] = []
-        call_in_zoom: List[int] = []  # the reference's inner-loop `i` (:339)
-        row_idx: List[np.ndarray] = []  # [num_videos, T] frame indices per row
-
+        starts, indexes, hierarchy_zooms, call_in_zoom, row_idx = \
+            self._stage2_passes(win_idx, rng)
         V = len(win_idx)
-        for zoom in ecfg.hierarchy_zooms:
-            batch = max(ecfg.batch // zoom, 1)
-            n_calls = int(np.ceil(V / batch))
-            for i in range(n_calls):
-                call_in_zoom.append(i)
-                start = i * batch
-                end = min(start + batch, V)
-                if end - start < batch:
-                    start = max(end - batch, 0)
-                starts.append(start)
-                row = win_idx[start : start + batch]
-                if len(row) < batch:
-                    row = np.concatenate(
-                        [row, np.repeat(row[-1:], batch - len(row), axis=0)], 0
-                    )
-                perm = rng.permutation(row.shape[0])
-                indexes.append(perm)
-                row = row[perm]
-                if zoom > 1:
-                    row = np.repeat(row, zoom, axis=0)
-                hierarchy_zooms.append(zoom)
-                row_idx.append(row)
-
         num_videos = row_idx[0].shape[0] if row_idx else ecfg.batch
         plan = build_splice_plan(
             ids, num_videos, len(ids) - 1 + num_videos + ecfg.max_new_tokens
@@ -642,15 +857,7 @@ class GroundingEngine:
         # the dense-prefilter case (~150 windows). The row axis needs no
         # power of two (7 measured 9% faster than 8). Pass counts above the
         # largest bucket fall back to multiple async dispatches.
-        buckets = sorted(
-            int(b)
-            for b in os.environ.get(
-                "REVISIONLLM_S2_ROW_BUCKETS", "7,10,14"
-            ).split(",")
-        )
-        n_pass = max(len(row_idx), 1)
-        fit = [b for b in buckets if b >= n_pass]
-        row_batch = min(fit) if fit else max(buckets)
+        row_batch = self._stage2_row_bucket(len(row_idx))
         plan_np = stack_plans([plan] * row_batch)
         qf = qv = None
         if query_feats is not None:
@@ -676,13 +883,39 @@ class GroundingEngine:
                 max_entropy.append(1.0 / max(res.entropy_stats[r, 0], 1e-9))
                 mean_entropy.append(1.0 / max(res.entropy_stats[r, 2], 1e-9))
         tp = _prof("s2_realize", tp)
+        return self._stage2_finalize(
+            answers, mean_entropy, max_entropy, starts, indexes,
+            hierarchy_zooms, call_in_zoom, row_idx, grounding_windows, V,
+            features, feats_dev, query_cls, tp,
+        )
 
-        # CLIP cosine of each chosen window (reference
-        # eval_nlq_retrieval_e2e2.py:360-386): map the parsed answer back
-        # through permutation/zoom/pre-filter, then score the +-1 window
-        # neighborhood of the current pass's (permuted, zoom-repeated)
-        # features against the query CLS — one batched program for all
-        # proposals, like ground_windows' scorer.
+    def _stage2_finalize(
+        self,
+        answers: List[str],
+        mean_entropy: List[float],
+        max_entropy: List[float],
+        starts: List[int],
+        indexes: List[np.ndarray],
+        hierarchy_zooms: List[int],
+        call_in_zoom: List[int],
+        row_idx: List[np.ndarray],
+        grounding_windows: List[int],
+        V: int,
+        features: np.ndarray,
+        feats_dev,
+        query_cls: Optional[np.ndarray],
+        tp: float,
+    ) -> Dict[str, Any]:
+        """Per-query scoring tail of retrieve — shared by the single-query
+        and multi-query batched paths.
+
+        CLIP cosine of each chosen window (reference
+        eval_nlq_retrieval_e2e2.py:360-386): map the parsed answer back
+        through permutation/zoom/pre-filter, then score the +-1 window
+        neighborhood of the current pass's (permuted, zoom-repeated)
+        features against the query CLS — one batched program for all
+        proposals, like ground_windows' scorer."""
+        use_dg = self._device_gather_enabled()
         score_cos: List[float] = []
         if query_cls is not None and answers:
             # per-pass row length: the reference clamps with the CURRENT
@@ -761,6 +994,142 @@ class GroundingEngine:
             "num_windows": V,
         }
 
+    def retrieve_batch(
+        self,
+        features: np.ndarray,
+        queries: Sequence[Dict[str, Any]],
+        question_key: str = "retrieval",
+        movie_key=None,
+    ) -> List[Dict[str, Any]]:
+        """Hierarchical retrieval for MULTIPLE queries over one movie as one
+        row-stacked program (or as few bucket-shaped dispatches as fit) —
+        the throughput mode. Decode is weight-bandwidth-bound: stacking Q
+        queries' zoom passes into one program amortizes the full int8 weight
+        read per generated token across all of them, the same win that
+        collapsed the single query's zoom passes into one dispatch
+        (BENCH_NOTES round 4).
+
+        queries: each {"sentence": str, "query_feats": ..., "query_cls": ...,
+        "grounding_windows": list | None, "rng": np.random.Generator | None}.
+        Results match per-query retrieve calls exactly (per-query rngs drive
+        the shuffles); parity pinned by tests/test_engine_batch.py. Extend
+        REVISIONLLM_S2_ROW_BUCKETS (e.g. "7,10,14,28,40") so Q queries'
+        passes fit one dispatch.
+        """
+        ecfg = self.eval_cfg
+        tp = time.time()
+        Q = len(queries)
+        if Q == 0:
+            return []
+        clip_length = int(ecfg.debug_window * ecfg.feature_fps)
+        bounds = W.strided_window_bounds(len(features), clip_length, ecfg.stride)
+        plan_idx = np.asarray(
+            W.window_frame_indices(bounds, ecfg.num_frames), np.int32
+        )
+
+        use_dg = self._device_gather_enabled()
+        feats_dev = self._features_to_device(features, movie_key) if use_dg else None
+
+        # per-query pass assembly (own grounding prefilter + rng each)
+        per_q = []
+        for qi, q in enumerate(queries):
+            gw = q.get("grounding_windows")
+            win_idx = plan_idx
+            if gw is None:
+                gw = list(range(len(plan_idx)))
+            else:
+                win_idx = plan_idx[np.asarray(gw, np.int32)]
+            rng = q.get("rng") or np.random.default_rng(42)
+            starts, indexes, zooms, calls, row_idx = self._stage2_passes(
+                win_idx, rng
+            )
+            per_q.append((gw, len(win_idx), starts, indexes, zooms, calls, row_idx))
+
+        num_videos = per_q[0][6][0].shape[0] if per_q[0][6] else ecfg.batch
+        ids_list = [
+            self._prompt_ids(q["sentence"], QUESTIONS[question_key])
+            for q in queries
+        ]
+        max_len = max(len(i) for i in ids_list) - 1 + num_videos \
+            + ecfg.max_new_tokens
+        plans = [
+            build_splice_plan(ids, num_videos, max_len) for ids in ids_list
+        ]
+
+        any_qf = any(q.get("query_feats") is not None for q in queries)
+        if any_qf and not all(q.get("query_feats") is not None for q in queries):
+            raise ValueError(
+                "retrieve_batch: queries must uniformly have or lack "
+                "query_feats"
+            )
+        qf_all = qv_all = None
+        if any_qf:
+            dtype = jnp.dtype(self.llama_cfg.dtype)
+            qts = [len(q["query_feats"]) for q in queries]
+            qt = max(qts)
+            d = features.shape[-1]
+            qf_np = np.zeros((Q, qt, d), np.float32)
+            qv_np = np.zeros((Q, qt), bool)
+            for i, q in enumerate(queries):
+                qf_np[i, : qts[i]] = q["query_feats"]
+                qv_np[i, : qts[i]] = True
+            qf_all = jnp.asarray(qf_np, dtype)
+            qv_all = jnp.asarray(qv_np)
+
+        # flatten all queries' passes into one row list
+        flat_rows: List[np.ndarray] = []
+        flat_q: List[int] = []
+        for qi, (_, _, _, _, _, _, row_idx) in enumerate(per_q):
+            flat_rows.extend(row_idx)
+            flat_q.extend([qi] * len(row_idx))
+        total = len(flat_rows)
+        row_batch = self._stage2_row_bucket(total)
+        tp = _prof("s2b_plan", tp)
+
+        pending = []
+        for rstart in range(0, total, row_batch):
+            rows = flat_rows[rstart : rstart + row_batch]
+            sel_q = flat_q[rstart : rstart + row_batch]
+            n_rows = len(rows)
+            if n_rows < row_batch:
+                rows = rows + [rows[-1]] * (row_batch - n_rows)
+                sel_q = sel_q + [sel_q[-1]] * (row_batch - n_rows)
+            plan_np = stack_plans([plans[qi] for qi in sel_q])
+            if qf_all is not None:
+                plan_np["qsel"] = np.asarray(sel_q, np.int32)
+            images = np.stack(rows, axis=0)  # [R, num_videos, T] idx
+            if not use_dg:
+                images = features[images]  # [R, num_videos, T, d] host gather
+            pending.append((
+                n_rows,
+                self._run_chunk(plan_np, images, qf_all, qv_all, feats_dev=feats_dev),
+            ))
+        tp = _prof("s2b_dispatch", tp)
+
+        answers_all: List[str] = []
+        mean_all: List[float] = []
+        max_all: List[float] = []
+        for n_rows, out in pending:
+            res = self._read_chunk(out)
+            answers_all.extend(res.answers[:n_rows])
+            for r in range(n_rows):
+                max_all.append(1.0 / max(res.entropy_stats[r, 0], 1e-9))
+                mean_all.append(1.0 / max(res.entropy_stats[r, 2], 1e-9))
+        tp = _prof("s2b_realize", tp)
+
+        results = []
+        off = 0
+        for qi, (gw, V, starts, indexes, zooms, calls, row_idx) in enumerate(per_q):
+            k = len(row_idx)
+            results.append(self._stage2_finalize(
+                answers_all[off : off + k], mean_all[off : off + k],
+                max_all[off : off + k], starts, indexes, zooms, calls,
+                row_idx, gw, V, features, feats_dev,
+                queries[qi].get("query_cls"), tp,
+            ))
+            off += k
+        return results
+
     # ------------------------------------------------------------- t2v eval
 
     def retrieve_videos(
@@ -826,18 +1195,9 @@ class GroundingEngine:
             answers.append(res.answers[0])
             inv_entropy.append(1.0 / max(res.entropy_stats[0, 2], 1e-9))
 
-        # answers -> candidate ids + scores
-        chosen: List[int] = []
-        scores: List[float] = []
-        for p, a in enumerate(answers):
-            n = M.parse_single(a)
-            if n is None:
-                continue
-            cand = starts[p] + min(max(n, 0), batch - 1)
-            if cand >= V:
-                continue
-            chosen.append(cand)
-            scores.append(inv_entropy[p])
+        chosen, scores = _map_retrieval_answers(
+            answers, inv_entropy, starts, batch, V
+        )
         if query_cls is not None and chosen:
             qc = jnp.asarray(query_cls, jnp.float32)
             cos: List[float] = []

@@ -132,7 +132,8 @@ def run(args, engine) -> Dict[str, float]:
                 qf, qc = q_store.get(str(q["query_id"]))
             res = engine.retrieve_videos(
                 stack, sentence, qf, qc,
-                question_key=args.retrieval_prompt, corpus_key="t2v_corpus",
+                question_key=args.retrieval_prompt,
+                corpus_key=("t2v_corpus", args.data_path, args.feat_folder),
             )
             gt = cand_index[q["video"]]
             rank = res["ranked"].index(gt) + 1 if gt in res["ranked"] else len(corpus)

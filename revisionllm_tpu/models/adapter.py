@@ -307,6 +307,13 @@ def clip_encoder_forward(
             # Self-attn insertion points match reference CrossLayer.forward
             # (cross_attn.py:120-130): sa_pos=1 before cross-attn, sa_pos=2
             # between cross-attn and feed-forward — the FFN always runs last.
+            # Known deviation: norm placement here follows T2V forward_post
+            # (no post-cross-attn LayerNorm before the sa_pos=2 self-attn;
+            # the FFN residual is taken from the un-normalized sum), whereas
+            # reference CrossLayer applies norm2 to the cross-attn residual
+            # first — activations will NOT match reference CrossLayer weights
+            # when ca_self_attn is enabled. No reference trained config ships
+            # ca_self_attn, so checkpoint parity is unaffected in practice.
             if cfg.ca_self_attn and cfg.sa_pos == 1:
                 src_t2v, rng = _apply_ca_self_attn(
                     cfg, layer, src_t2v, video_length, cfg.dropout,

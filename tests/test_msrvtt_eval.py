@@ -99,3 +99,27 @@ class TestMsrvttEval:
         msrvtt.main(args)
         after = open(os.path.join(log_dir, "predictions_streaming_0.txt")).read()
         assert before == after
+
+
+def test_map_retrieval_answers_dedup_and_padded_slots():
+    """Tail-pass overlap + padded rows (advisor round-4): duplicate
+    candidates keep only their best score; an answer pointing at a padded
+    slot clamps to the real candidate it duplicates (never dropped)."""
+    from revisionllm_tpu.eval.engine import _map_retrieval_answers
+
+    # V=5 candidates, batch=3 -> passes at starts [0, 2] (tail overlaps 2).
+    # Pass 0 answers candidate 2; pass 1 answers row 0 -> candidate 2 again
+    # with a HIGHER score: dedup keeps 2 once, at the better score.
+    chosen, scores = _map_retrieval_answers(
+        ["In video 2.", "In video 0."], [1.0, 4.0], [0, 2], 3, 5
+    )
+    assert chosen == [2] and scores == [4.0]
+
+    # V=2 < batch=3: rows padded by repeating candidate 1. An answer at the
+    # padded slot (row 2) maps to candidate 1, not dropped via cand >= V.
+    chosen, scores = _map_retrieval_answers(["In video 2."], [2.5], [0], 3, 2)
+    assert chosen == [1] and scores == [2.5]
+
+    # Unparseable answers are skipped.
+    chosen, scores = _map_retrieval_answers(["nope"], [1.0], [0], 3, 5)
+    assert chosen == [] and scores == []
