@@ -24,15 +24,47 @@ import numpy as np
 from revisionllm_tpu.config import LoraConfig
 
 
-def save_checkpoint(path: str, state: Dict[str, Any], step: int) -> None:
+_ASYNC_CKPTR: Optional[Any] = None
+
+
+def _async_checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def save_checkpoint(
+    path: str, state: Dict[str, Any], step: int, block: bool = True
+) -> None:
     """Orbax save of {trainable, opt_state, step}. Resumable mid-run (the
-    auto-resume behavior of reference train/train.py:394-397)."""
+    auto-resume behavior of reference train/train.py:394-397).
+
+    block=False overlaps the disk write with subsequent train steps: the
+    device->host copy is synchronous (state is immutable thereafter) and
+    serialization/commit run in a background thread — a 7 GB QLoRA state
+    takes ~100 s to land on the relay-mounted disk, which at the reference's
+    checkpoint cadence is real lost throughput if the step loop waits for
+    it. Orbax commits via atomic rename, so `latest_checkpoint` never sees a
+    partial save. Callers MUST call `wait_for_checkpoints()` before process
+    exit (and before restoring a just-saved step in-process)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckpt_dir = os.path.join(path, f"checkpoint-{step}")
+    if not block:
+        _async_checkpointer().save(ckpt_dir, args=ocp.args.StandardSave(state))
+        return
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(ckpt_dir, state)
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every pending async save has committed."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def latest_checkpoint(path: str) -> Optional[str]:

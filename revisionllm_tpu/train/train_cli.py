@@ -292,11 +292,14 @@ def main(argv=None):
                     sec_per_step=dt / args.log_steps,
                 )
             if (step + 1) % args.save_steps == 0 or step == total_steps - 1:
+                # async: the ~100 s disk write overlaps subsequent steps
                 ckpt_lib.save_checkpoint(
                     args.output_dir,
                     {"trainable": trainable, "opt_state": opt_state, "step": step + 1},
                     step + 1,
+                    block=False,
                 )
+    ckpt_lib.wait_for_checkpoints()
 
     # --- final reference-format artifacts (train.py:402-412) ---
     ckpt_lib.export_reference_artifacts(

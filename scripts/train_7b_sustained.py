@@ -244,13 +244,18 @@ def main(argv=None):
                        grad_norm=float(metrics["grad_norm"]), sec_per_step=dt)
             phase(f"step {step + 1}: loss {loss:.4f} ({dt*1e3:.0f} ms)")
         if (step + 1) % args.save_steps == 0 or step == args.max_steps - 1:
+            # async: the ~100 s relay-disk write (7 GB opt state) overlaps
+            # the next train steps instead of stalling the loop
             ckpt_lib.save_checkpoint(
                 args.out,
                 {"trainable": trainable, "opt_state": opt_state, "step": step + 1},
                 step + 1,
+                block=False,
             )
-            phase(f"checkpoint saved at step {step + 1}")
+            phase(f"checkpoint save dispatched at step {step + 1}")
 
+    phase("waiting for pending checkpoint commits")
+    ckpt_lib.wait_for_checkpoints()
     steady = np.asarray(times[1:]) if len(times) > 1 else np.asarray(times)
     result = {
         "metric": "qlora_7b_train_tokens_per_sec_per_chip",

@@ -159,6 +159,37 @@ class TestCheckpointRoundtrip:
         )
         assert int(restored["step"]) == 7
 
+    def test_async_save_restore(self, tmp_path):
+        """block=False save commits in the background; after
+        wait_for_checkpoints the checkpoint restores exactly, even when the
+        caller's references move on (the training-loop pattern: saved state
+        must be host-copied synchronously per the orbax async contract).
+        latest_checkpoint must never surface an uncommitted tmp dir."""
+        import jax.numpy as jnp
+
+        from revisionllm_tpu.train import checkpoint as ckpt
+
+        state = {
+            "trainable": {"w": jnp.arange(6.0).reshape(2, 3)},
+            "opt_state": {"m": jnp.ones((2, 3))},
+            "step": 3,
+        }
+        ckpt.save_checkpoint(str(tmp_path), state, 3, block=False)
+        # caller moves on, as the train loop does after dispatching a save
+        state = {
+            "trainable": {"w": jnp.zeros((2, 3))},
+            "opt_state": {"m": jnp.zeros((2, 3))},
+            "step": 4,
+        }
+        ckpt.wait_for_checkpoints()
+        latest = ckpt.latest_checkpoint(str(tmp_path))
+        assert latest.endswith("checkpoint-3")
+        restored = ckpt.restore_checkpoint(latest, state)
+        np.testing.assert_array_equal(
+            np.asarray(restored["trainable"]["w"]), np.arange(6.0).reshape(2, 3)
+        )
+        assert int(restored["step"]) == 3
+
     def test_reference_artifact_roundtrip(self, tmp_path):
         """export -> convert_peft_lora + convert_clip_adapter recovers the
         same trees (interop with the reference on-disk format)."""
