@@ -99,7 +99,7 @@ def make_synthetic_corpus(
 
     T = int(round(duration * fps))
 
-    def build_movie(vid: str) -> Dict[str, Tuple[float, float]]:
+    def build_movie(vid: str, rng: np.random.Generator) -> Dict[str, Tuple[float, float]]:
         feats = background * rng.normal(size=(T, d)).astype(np.float32)
         spans = _place_events(rng, n_classes, duration, ev_min, ev_max, margin)
         gt: Dict[str, Tuple[float, float]] = {}
@@ -114,9 +114,12 @@ def make_synthetic_corpus(
         np.save(os.path.join(feat_dir, vid + ".npy"), feats)
         return gt
 
-    def annotations(movies: List[str]) -> Dict[str, dict]:
+    def annotations(movies: List[str], split_tag: int) -> Dict[str, dict]:
         ann: Dict[str, dict] = {}
-        for vid in movies:
+        for mi, vid in enumerate(movies):
+            # per-movie child rng: query jitter is independent of how many
+            # movies the OTHER split has (see the build loop below)
+            rng = np.random.default_rng([seed, 2 + split_tag, mi])
             gt = movie_gt[vid]
             for c in range(n_classes):
                 qid = f"{vid}_c{c}"
@@ -143,11 +146,17 @@ def make_synthetic_corpus(
     movie_gt: Dict[str, Dict[str, Tuple[float, float]]] = {}
     train_movies = [f"syn_train_{i:03d}" for i in range(n_train_movies)]
     val_movies = [f"syn_val_{i:03d}" for i in range(n_val_movies)]
-    for vid in train_movies + val_movies:
-        movie_gt[vid] = build_movie(vid)
+    # Each movie gets a CHILD rng derived from (seed, split, index): the
+    # train stream is bit-identical no matter how many validation movies are
+    # requested (a shared sequential rng made --val_movies silently perturb
+    # the train corpus — and full-budget training proved fragile to that).
+    for i, vid in enumerate(train_movies):
+        movie_gt[vid] = build_movie(vid, np.random.default_rng([seed, 0, i]))
+    for i, vid in enumerate(val_movies):
+        movie_gt[vid] = build_movie(vid, np.random.default_rng([seed, 1, i]))
 
-    train_ann = annotations(train_movies)
-    val_ann = annotations(val_movies)
+    train_ann = annotations(train_movies, 0)
+    val_ann = annotations(val_movies, 1)
 
     from revisionllm_tpu.data.converters import mad_to_records
 
