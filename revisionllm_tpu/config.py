@@ -353,6 +353,26 @@ def _preset_synthetic_tiny() -> WorkloadConfig:
     )
 
 
+def _preset_synthetic_tiny_stream() -> WorkloadConfig:
+    """Streaming-memory variant of synthetic_tiny over the stream corpus
+    (data/synthetic.py::make_stream_corpus): paired clips, clip-1 memory
+    pooled per memory_type and injected at clip-2's <memory> sentinel —
+    the learning witness for the reference's stream mode
+    (vtimellm_trainer.py:78-129, vtimellm_arch.py:208-232)."""
+    base = _preset_synthetic_tiny()
+    return WorkloadConfig(
+        name="synthetic_tiny_stream",
+        model=base.model,
+        adapter=base.adapter,
+        data=DataConfig(**{**base.data.__dict__, "stream": True}),
+        train=TrainConfig(**{
+            **base.train.__dict__,
+            "memory_type": "gt_mean_pool", "stream_loss": "single",
+        }),
+        eval=base.eval,
+    )
+
+
 def _preset_synthetic_tiny_sparse() -> WorkloadConfig:
     """ClipEncoder adapter pretraining at synthetic-tiny scale — the
     scripts/mad/stage1_sparse.sh phase: tune ONLY the adapter (temporal
@@ -427,6 +447,7 @@ def _preset_synthetic_tiny_stage2() -> WorkloadConfig:
 PRESETS = {
     "stage1_dense": _preset_stage1_dense,
     "synthetic_tiny": _preset_synthetic_tiny,
+    "synthetic_tiny_stream": _preset_synthetic_tiny_stream,
     "synthetic_tiny_sparse": _preset_synthetic_tiny_sparse,
     "synthetic_tiny_stage2": _preset_synthetic_tiny_stage2,
     "stage1_sparse": _preset_stage1_sparse,

@@ -230,8 +230,13 @@ def mha_reference(
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
 
-    s = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32), k.astype(jnp.float32))
-    s = s * sm_scale
+    bf16_scores = _attn_bf16_scores() and q.dtype == jnp.bfloat16
+    sdt = jnp.bfloat16 if bf16_scores else jnp.float32
+    s = jnp.einsum(
+        "bthd,bshd->bhts", q.astype(sdt), k.astype(sdt),
+        preferred_element_type=sdt,
+    )
+    s = s * jnp.asarray(sm_scale, sdt)
     mask = jnp.ones((B, 1, T, S), dtype=bool)
     if kv_lens is not None:
         col = jnp.arange(S)[None, None, None, :]
@@ -240,10 +245,30 @@ def mha_reference(
         row = jnp.arange(T)[:, None]
         col = jnp.arange(S)[None, :]
         mask = jnp.logical_and(mask, (row >= col)[None, None])
-    s = jnp.where(mask, s, NEG_INF)
+    s = jnp.where(mask, s, jnp.asarray(NEG_INF, sdt))
     p = jax.nn.softmax(s, axis=-1)
-    out = jnp.einsum("bhts,bshd->bthd", p, v.astype(jnp.float32))
+    out = jnp.einsum("bhts,bshd->bthd", p, v.astype(sdt))
     return out.astype(q.dtype)
+
+
+_ATTN_BF16 = None
+
+
+def _attn_bf16_scores() -> bool:
+    """REVISIONLLM_ATTN_BF16=1: the short-seq einsum path keeps scores and
+    softmax in bfloat16 — the [B, H, T, S] score tensor is the einsum path's
+    dominant HBM traffic (~830 MB/layer f32 at chunk-64 serving shapes) and
+    halving it measured 6.1 -> 4.0 ms/layer isolated (probe_mxu attn_f32 vs
+    attn_bf16, round 5). Relative logit error ~0.4% — the same order as the
+    already-promoted W8A8 matmul noise, and the serving K cache is int8
+    (KV8) anyway. Opt-in pending the e2e + quant-validation A/B; bf16 inputs
+    only (f32/CPU test paths keep exact math)."""
+    global _ATTN_BF16
+    if _ATTN_BF16 is None:
+        import os
+
+        _ATTN_BF16 = os.environ.get("REVISIONLLM_ATTN_BF16", "0") == "1"
+    return _ATTN_BF16
 
 
 _FLASH_MIN_SEQ = None

@@ -67,6 +67,9 @@ def parse_args(argv=None):
                    help="LoRA rank override (reference train.py:93 lora_r)")
     p.add_argument("--lora_alpha", type=int, default=None,
                    help="LoRA alpha override (reference train.py:94 lora_alpha)")
+    p.add_argument("--memory_type", type=str, default=None,
+                   choices=["mean_pool", "gt_mean_pool", "gt_multi", "multi_pool"],
+                   help="stream memory pooling override (reference train.py:104)")
     return p.parse_args(argv)
 
 
@@ -75,7 +78,8 @@ def build_configs(args):
     train_cfg = wl.train
     data_cfg = wl.data
     overrides = {}
-    for name in ("training_stage", "num_epochs", "per_device_batch_size", "learning_rate"):
+    for name in ("training_stage", "num_epochs", "per_device_batch_size",
+                 "learning_rate", "memory_type"):
         v = getattr(args, name)
         if v is not None:
             overrides[name] = v

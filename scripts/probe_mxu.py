@@ -180,6 +180,52 @@ def main(argv=None):
             x = jnp.zeros((B, t, D), jnp.bfloat16)
             flops = 2 * 3 * D * F * B * t * L
             return run, x, w, flops
+        if variant.startswith("attn_"):
+            # attention at serving-prefill shapes [B, T, H=32, hd=128]:
+            # the einsum path's f32 score tensor is ~830 MB/layer of HBM
+            # traffic; measure f32 vs bf16 scores vs the flash kernel
+            H, hd = 32, 128
+            mode = variant[len("attn_"):]
+
+            def run(x, w):
+                from revisionllm_tpu.ops.flash_attention import (
+                    flash_attention, mha_reference,
+                )
+
+                q, k, v = x, x, x
+
+                def step(q, _):
+                    if mode == "f32":
+                        o = mha_reference(q, k, v, causal=True)
+                    elif mode == "bf16":
+                        s = jnp.einsum(
+                            "bthd,bshd->bhts", q, k,
+                            preferred_element_type=jnp.bfloat16,
+                        ) * (1.0 / hd ** 0.5)
+                        Tq, S = q.shape[1], k.shape[1]
+                        row = jnp.arange(Tq)[:, None]
+                        col = jnp.arange(S)[None, :]
+                        s = jnp.where((row >= col)[None, None], s,
+                                      jnp.bfloat16(-30000.0))
+                        p = jax.nn.softmax(s, axis=-1)
+                        o = jnp.einsum("bhts,bshd->bthd", p, v)
+                    elif mode == "flash":
+                        Tq, S = q.shape[1], k.shape[1]
+                        o = flash_attention(
+                            q, k, v, causal=True,
+                            block_q=min(Tq, 512),
+                            block_k=min(-(-S // 128) * 128, 512),
+                        )
+                    else:
+                        raise ValueError(mode)
+                    return q + 0.001 * o.astype(q.dtype), None
+
+                return jax.lax.scan(step, q, None, length=L)[0]
+
+            x = jnp.zeros((B, t, 32, 128), jnp.bfloat16)
+            # 2 einsums x 2 flops, causal halves the useful work
+            flops = 2 * 2 * B * 32 * t * t * 128 * L // 2
+            return run, x, None, flops
         # w8a8 family
         w = stacked_int8(shapes)
         two_d = variant.endswith("_2d")

@@ -1,0 +1,277 @@
+"""Streaming-memory LEARNING proof (VERDICT r4 #4).
+
+The stream corpus (data/synthetic.py::make_stream_corpus) makes grounding
+resolvable ONLY through clip-1 memory: every movie shows a target event
+flanked by same-class decoys and the query is the same generic sentence, so
+clip-2 alone offers 2-3 equally plausible spans. Training runs the REAL
+stream mode end to end — train_cli with stream=True (paired clips from
+data/dataset.py:157-166, host memory pooling data/stream.py, the
+<memory>-sentinel splice and make_stream_loss_fn — the rebuild of reference
+vtimellm_trainer.py:78-129 / vtimellm_arch.py:208-232) — then a bespoke
+held-out eval feeds VALID clip-1 memory and measures span IoU, against a
+NO-MEMORY ablation trained on the same corpus.
+
+Claim proven when stream R1@0.5 clears the ablation by a wide margin: the
+memory tokens are READ, not just computed against a loss.
+
+Usage:
+  PYTHONPATH=. JAX_PLATFORMS=cpu python scripts/stream_memory_demo.py \
+      --work_dir /tmp/stream_demo [--steps 3000]
+
+Prints one JSON line; exits nonzero if the stream model fails the bar.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+WINDOW = 90.0
+NUM_FRAMES = 16
+FPS = 1.0
+PREFIX_LEN = 24  # train_cli.py prefix_len
+MAX_NEW = 8
+
+PREFIX_WORDS = (
+    "here is an example of a past memory where the event did not occur "
+    "take place Here"
+).split()
+
+
+def _crop(t0: float, t1: float, total: int, rng) -> tuple:
+    """Replicate the dataset's random GT-containing crop (dataset.py:778-794)
+    in the stream corpus geometry; returns (start_frame, end_frame)."""
+    import math
+
+    gt_len = math.ceil(t1 - t0)
+    offset = int(rng.integers(0, max(int(WINDOW) - gt_len, 1)))
+    start_s = max(0, t0 - offset)
+    end_s = start_s + WINDOW
+    start, end = round(start_s * FPS), round(end_s * FPS)
+    if end > total - 1:
+        end = total - 1
+        start = max(0, end - round(WINDOW * FPS))
+    return start, end
+
+
+def _frame_token(t_sec: float, start_frame: int) -> int:
+    """Second -> frame-token index inside a crop (the dataset's
+    timestamp_to_frame_token math at this geometry)."""
+    rel = t_sec - start_frame / FPS
+    return int(round(rel / WINDOW * (NUM_FRAMES - 1)))
+
+
+def eval_model(
+    hf: str, out_dir: str, corpus: dict, memory_type,
+) -> dict:
+    """Held-out grounding with (or, memory_type=None, without) clip-1
+    memory, through the exported artifacts + the real loader."""
+    import jax.numpy as jnp
+
+    from revisionllm_tpu.config import AdapterConfig
+    from revisionllm_tpu.constants import PREFIX
+    from revisionllm_tpu.conversation import CONV_VICUNA_V1
+    from revisionllm_tpu.data.converters import GROUNDING_PROMPT
+    from revisionllm_tpu.eval import metrics as M
+    from revisionllm_tpu.models import llama, revisionllm
+    from revisionllm_tpu.models.convert import jnp_tree, load_pretrained
+    from revisionllm_tpu.models.multimodal import build_splice_plan, stack_plans
+    from revisionllm_tpu.tokenization import tokenizer_image_token
+    from transformers import AutoTokenizer
+
+    acfg = AdapterConfig(kind="mlp", hierarchy=False)
+    cfg, params, vision = load_pretrained(
+        hf, acfg,
+        mm_projector_path=os.path.join(out_dir, "non_lora_trainables.bin"),
+        stage2_lora=out_dir, dtype=np.float32,
+    )
+    acfg = acfg.with_hidden(cfg.hidden_size)
+    params, vision = jnp_tree(params), jnp_tree(vision)
+    tokenizer = AutoTokenizer.from_pretrained(hf, use_fast=True)
+
+    query = "<video>\n" + GROUNDING_PROMPT.format("the pattern")
+    n_mem = 0
+    if memory_type is not None:
+        query += "\n<memory>"
+        n_mem = PREFIX_LEN + 1  # mean-pool memory types: M = 1
+        prefix_ids = list(tokenizer(PREFIX[1]).input_ids)[:PREFIX_LEN]
+        prefix_ids = np.asarray(
+            prefix_ids + [0] * (PREFIX_LEN - len(prefix_ids)), np.int32
+        )
+    ids = tokenizer_image_token(CONV_VICUNA_V1.user_turn_prompt(query), tokenizer)
+    plan = build_splice_plan(
+        ids, NUM_FRAMES, len(ids) - 1 + NUM_FRAMES + n_mem + MAX_NEW,
+        num_memory_tokens=n_mem,
+    )
+    plan_np = stack_plans([plan])
+
+    info = json.load(open(corpus["eval_json"]))
+    ious, decoy_hits = [], 0
+    for k, (vid, meta) in enumerate(sorted(info.items())):
+        feats = np.load(os.path.join(corpus["features"], vid + ".npy"))
+        t0, t1 = meta["spans"]["target"]
+        rng = np.random.default_rng([97, k])
+        s2, e2 = _crop(t0, t1, len(feats), rng)
+        idx2 = np.linspace(s2, e2, NUM_FRAMES, dtype=np.int32)
+        images = feats[idx2][None]  # [1, 16, d]
+
+        memory_tokens = None
+        if memory_type is not None:
+            s1, e1 = _crop(t0, t1, len(feats), rng)
+            idx1 = np.linspace(s1, e1, NUM_FRAMES, dtype=np.int32)
+            clip1 = feats[idx1]
+            if memory_type == "gt_mean_pool":
+                f0 = max(_frame_token(t0, s1), 0)
+                f1 = min(_frame_token(t1, s1), NUM_FRAMES - 1)
+                mem = clip1[f0 : f1 + 1].mean(0, keepdims=True)
+            elif memory_type == "mean_pool":
+                mem = clip1.mean(0, keepdims=True)
+            else:
+                raise ValueError(memory_type)
+            proj = vision["mm_projector"]
+            mem_tok = jnp.asarray(mem[None], jnp.float32) @ proj["w"] + proj["b"]
+            pre = llama.embed_tokens(params, jnp.asarray(prefix_ids)[None])
+            memory_tokens = jnp.concatenate(
+                [pre.astype(mem_tok.dtype), mem_tok], axis=1
+            )
+
+        out = revisionllm.generate_grounding(
+            cfg, acfg, params, vision, plan_np,
+            jnp.asarray(images, jnp.float32), memory_tokens=memory_tokens,
+            eos_id=int(tokenizer.eos_token_id or 2), max_new_tokens=MAX_NEW,
+            temperature=0.0, use_pallas=False,
+        )
+        toks = np.asarray(out["tokens"])[0]
+        valid = np.asarray(out["valid"])[0]
+        answer = tokenizer.decode(
+            [int(t) for t, v in zip(toks, valid) if v], skip_special_tokens=True
+        )
+        span = M.parse_span(answer)
+        gt = (max(_frame_token(t0, s2), 0), min(_frame_token(t1, s2), NUM_FRAMES - 1))
+        iou = 0.0
+        if span is not None:
+            inter = max(0, min(span[1], gt[1]) - max(span[0], gt[0]) + 1)
+            union = max(span[1], gt[1]) - min(span[0], gt[0]) + 1
+            iou = inter / union if union > 0 else 0.0
+            # did it grab a decoy instead?
+            for dk in ("decoy_before", "decoy_after"):
+                d0, d1 = meta["spans"][dk]
+                dgt = (_frame_token(d0, s2), _frame_token(d1, s2))
+                di = max(0, min(span[1], dgt[1]) - max(span[0], dgt[0]) + 1)
+                du = max(span[1], dgt[1]) - min(span[0], dgt[0]) + 1
+                if du > 0 and di / du >= 0.5:
+                    decoy_hits += 1
+        ious.append(iou)
+
+    ious = np.asarray(ious)
+    return {
+        "R1@0.5": round(float((ious >= 0.5).mean()) * 100, 1),
+        "R1@0.3": round(float((ious >= 0.3).mean()) * 100, 1),
+        "mIoU": round(float(ious.mean()) * 100, 1),
+        "decoy_rate": round(decoy_hits / len(ious) * 100, 1),
+        "n": len(ious),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work_dir", default="/tmp/stream_demo")
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--ablation_steps", type=int, default=3000)
+    ap.add_argument("--memory_types", type=str, default="gt_mean_pool,mean_pool")
+    ap.add_argument("--train_movies", type=int, default=48)
+    ap.add_argument("--val_movies", type=int, default=16)
+    ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--min_margin", type=float, default=20.0,
+                    help="required R1@0.5 lead of stream over ablation (pts)")
+    ap.add_argument("--skip_train", action="store_true")
+    args = ap.parse_args(argv)
+
+    wd = args.work_dir
+    os.makedirs(wd, exist_ok=True)
+
+    from revisionllm_tpu.data.synthetic import (
+        build_tiny_hf_checkpoint,
+        make_stream_corpus,
+    )
+
+    corpus_dir = os.path.join(wd, "corpus")
+    if not os.path.isfile(os.path.join(corpus_dir, "stream_eval.json")):
+        make_stream_corpus(
+            corpus_dir, n_train_movies=args.train_movies,
+            n_val_movies=args.val_movies, seed=args.seed,
+        )
+    corpus = {
+        "features": os.path.join(corpus_dir, "features"),
+        "train_json": os.path.join(corpus_dir, "train.json"),
+        "eval_json": os.path.join(corpus_dir, "stream_eval.json"),
+    }
+    hf = os.path.join(wd, "hf")
+    if not os.path.isfile(os.path.join(hf, "config.json")):
+        build_tiny_hf_checkpoint(hf, extra_words=PREFIX_WORDS)
+
+    from revisionllm_tpu.train import train_cli
+
+    mtypes = args.memory_types.split(",")
+    for mt in mtypes:
+        out = os.path.join(wd, f"stream_{mt}")
+        if not args.skip_train or not os.path.isfile(
+            os.path.join(out, "adapter_model.bin")
+        ):
+            print(f"[train] stream ({mt}) ...", file=sys.stderr)
+            train_cli.main([
+                "--preset", "synthetic_tiny_stream",
+                "--model_base", hf, "--memory_type", mt,
+                "--data_path", corpus["train_json"],
+                "--feat_folder", corpus["features"],
+                "--output_dir", out,
+                "--max_steps", str(args.steps),
+                "--save_steps", str(args.steps), "--log_steps", "250",
+            ])
+    ab = os.path.join(wd, "ablation")
+    if not args.skip_train or not os.path.isfile(
+        os.path.join(ab, "adapter_model.bin")
+    ):
+        print("[train] no-memory ablation ...", file=sys.stderr)
+        train_cli.main([
+            "--preset", "synthetic_tiny",
+            "--model_base", hf,
+            "--data_path", corpus["train_json"],
+            "--feat_folder", corpus["features"],
+            "--output_dir", ab,
+            "--max_steps", str(args.ablation_steps),
+            "--save_steps", str(args.ablation_steps), "--log_steps", "250",
+        ])
+
+    results = {}
+    for mt in mtypes:
+        print(f"[eval] stream ({mt}) ...", file=sys.stderr)
+        results[f"stream_{mt}"] = eval_model(
+            hf, os.path.join(wd, f"stream_{mt}"), corpus, mt
+        )
+    print("[eval] ablation (no memory) ...", file=sys.stderr)
+    results["ablation"] = eval_model(hf, ab, corpus, None)
+
+    summary = {k: v["R1@0.5"] for k, v in results.items()}
+    summary["margin"] = round(
+        results[f"stream_{mtypes[0]}"]["R1@0.5"] - results["ablation"]["R1@0.5"], 1
+    )
+    with open(os.path.join(wd, "stream_summary.json"), "w") as f:
+        json.dump({"summary": summary, "detail": results}, f, indent=2)
+    print(json.dumps({"summary": summary, "detail": results}))
+
+    if summary["margin"] < args.min_margin:
+        print(
+            f"FAIL: stream R1@0.5 lead {summary['margin']} < {args.min_margin}",
+            file=sys.stderr,
+        )
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

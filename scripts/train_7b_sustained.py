@@ -104,6 +104,12 @@ def main(argv=None):
     ap.add_argument("--save_steps", type=int, default=150)
     ap.add_argument("--log_steps", type=int, default=10)
     ap.add_argument("--movies", type=int, default=8)
+    ap.add_argument("--prefetch", type=int, default=1,
+                    help="build batch N+1 on a host thread during step N "
+                         "(this box's single throttled core costs ~120 ms/"
+                         "sample of collator time — synchronous building is "
+                         "the measured cause of the B>1 throughput fall, "
+                         "scripts/profile_train_batch.py)")
     args = ap.parse_args(argv)
 
     t_start = time.time()
@@ -221,14 +227,31 @@ def main(argv=None):
     order = np.random.default_rng(4).permutation(len(dataset))
     rng = jax.random.PRNGKey(5)
 
-    phase(f"training {start_step} -> {args.max_steps} (compile on first step)")
-    times, losses = [], []
-    t_last = time.time()
-    for step in range(start_step, args.max_steps):
+    def build_batch(step: int):
         idx = [int(order[(step * args.batch + j) % len(dataset)]) for j in range(args.batch)]
         b = collator([dataset[i] for i in idx])
         b.pop("iteration_step", None)
         b.pop("start_end_frame", None)
+        return b
+
+    batch_q = None
+    if args.prefetch:
+        import queue as queue_mod
+        import threading
+
+        batch_q = queue_mod.Queue(maxsize=2)
+
+        def producer():
+            for step in range(start_step, args.max_steps):
+                batch_q.put(build_batch(step))
+
+        threading.Thread(target=producer, daemon=True).start()
+
+    phase(f"training {start_step} -> {args.max_steps} (compile on first step)")
+    times, losses = [], []
+    t_last = time.time()
+    for step in range(start_step, args.max_steps):
+        b = batch_q.get() if batch_q is not None else build_batch(step)
         batch = {k: jnp.asarray(v) for k, v in b.items()}
         rng, sub = jax.random.split(rng)
         trainable, opt_state, metrics = step_fn(

@@ -214,3 +214,29 @@ class TestShortSeqDispatch:
         q = jnp.asarray(rng.normal(size=(2, 24, 4, 16)).astype(np.float32))
         out = FA.attention(q, q, q, use_pallas=True)
         assert out.shape == q.shape
+
+
+def test_bf16_scores_close_to_f32(monkeypatch):
+    """REVISIONLLM_ATTN_BF16=1 (bf16 score/softmax einsum path) stays within
+    bf16 rounding of the f32 path — the serving-noise budget that already
+    admits W8A8 (~0.3%) and KV8."""
+    import numpy as np
+
+    import revisionllm_tpu.ops.flash_attention as F
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(2, 24, 4, 16)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(2, 24, 4, 16)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(2, 24, 4, 16)), jnp.bfloat16)
+    kv_lens = jnp.asarray([24, 17])
+
+    monkeypatch.setattr(F, "_ATTN_BF16", False)
+    ref = np.asarray(F.mha_reference(q, k, v, causal=True, kv_lens=kv_lens),
+                     np.float32)
+    monkeypatch.setattr(F, "_ATTN_BF16", True)
+    out = np.asarray(F.mha_reference(q, k, v, causal=True, kv_lens=kv_lens),
+                     np.float32)
+    monkeypatch.setattr(F, "_ATTN_BF16", None)
+    # bf16 softmax noise: ~0.4% relative on O(1) outputs
+    assert np.abs(out - ref).max() < 0.05, np.abs(out - ref).max()
+    assert np.abs(out - ref).mean() < 0.01
