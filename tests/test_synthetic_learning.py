@@ -48,3 +48,30 @@ def test_learns_to_ground(tmp_path):
     # the fused recursive pipeline still grounds well above chance
     assert s["fused_R1@0.3"] >= 20.0, s
     assert s["fused_R1@0.5"] >= 15.0, s
+
+
+@pytest.mark.slow
+def test_quant_serving_accuracy(tmp_path):
+    """The int8+W8A8+KV8 serving default stays within the small-eval noise
+    band of bf16 on a TRAINED model (VERDICT r4 #3). Bars are loose (n=32,
+    1sigma ~ 9 pts; the tiny model's 128-wide dots carry ~5.7x the relative
+    quant noise of 7B) — this guards against the default path BREAKING, not
+    against noise."""
+    import quant_accuracy_ab
+    import synthetic_learning_demo
+
+    wd = str(tmp_path / "demo")
+    rc = synthetic_learning_demo.main([
+        "--work_dir", wd,
+        "--steps1", "1800", "--steps_sparse", "1", "--steps2", "1",
+        "--min_r1_at_05", "-1",  # only stage-1 matters for this guard
+    ])
+    assert rc == 0
+    rc = quant_accuracy_ab.main([
+        "--demo_dir", wd, "--configs", "bf16,int8_w8a8_kv8",
+    ])
+    assert rc == 0
+    with open(os.path.join(wd, "quant_ab", "quant_ab.json")) as f:
+        t = json.load(f)
+    assert t["bf16"]["R1@0.5"] >= 15.0, t  # the model grounds at all
+    assert t["int8_w8a8_kv8"]["R1@0.5"] >= t["bf16"]["R1@0.5"] - 20.0, t
