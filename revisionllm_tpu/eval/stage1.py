@@ -66,6 +66,10 @@ def parse_args(argv=None):
     p.add_argument("--max_new_tokens", type=int, default=32)
     p.add_argument("--baseline", type=str2bool, default=False)
     p.add_argument("--plus_baseline", type=str2bool, default=False)
+    p.add_argument("--query_batch", type=int, default=1,
+                   help="batch N same-movie queries into shared device "
+                        "chunks (throughput mode; the reference's version "
+                        "is a 16-way job array, eval_nlq_negative.py:179)")
     p.add_argument("--debug", type=str2bool, default=False)
     return p.parse_args(argv)
 
@@ -132,6 +136,67 @@ def run(args, engine: GroundingEngine) -> Dict[str, int]:
 
     errors, n_done = [], 0
     latencies = []
+    qbatch = max(int(getattr(args, "query_batch", 1) or 1), 1)
+
+    def _finalize(qid, movie, data, res, t0):
+        """Per-query scoring + log write (reference eval_nlq_negative.py
+        :281-341)."""
+        nonlocal n_done
+        duration = data.get("movie_duration", data.get("duration"))
+        timestamps = data["timestamps"]
+        gt = (timestamps[0] / duration, timestamps[1] / duration)
+        num_frames_video = int(duration * args.num_frames / args.debug_window)
+        # res["scores"] is already per-PROPOSAL (the engine replicates
+        # the reference's parse -> cosine -> normalize -> merge chain,
+        # eval_nlq_negative.py:281-336), in ascending-window order —
+        # the same order stage1_iou emits ious. Passing it back through
+        # stage1_iou's per-window filtering would mis-index (it expects
+        # one score per WINDOW, reference :291-298).
+        _, ious, _ = M.stage1_iou(
+            res["answers"], gt, args.num_frames, num_frames_video,
+            [], getattr(args, "plus_baseline", False),
+        )
+        M.write_log(
+            prediction_path, movie, "grounding", qid, res["answers"],
+            info={"iou": ious, "scores": res["scores"]},
+        )
+        n_done += 1
+        latencies.append(_time.time() - t0)
+
+    # --query_batch N: group same-movie queries into shared chunks
+    # (engine.ground_windows_batch — the throughput mode; the reference's
+    # equivalent is a 16-way job array, eval_nlq_negative.py:179-180)
+    group: List[tuple] = []
+
+    def _flush():
+        nonlocal n_done
+        if not group:
+            return
+        movie = group[0][2]
+        features = group[0][3]
+        try:
+            if len(group) == 1:
+                qid, data, _, feats, qf, qc, sentence, t0 = group[0]
+                res_list = [engine.ground_windows(
+                    feats, sentence, qf, qc,
+                    question_key=args.mad_prompt, movie_key=movie,
+                )]
+            else:
+                res_list = engine.ground_windows_batch(
+                    features,
+                    [{"sentence": g[6], "query_feats": g[4], "query_cls": g[5]}
+                     for g in group],
+                    question_key=args.mad_prompt, movie_key=movie,
+                )
+            for g, res in zip(group, res_list):
+                _finalize(g[0], g[2], g[1], res, g[7])
+        except Exception:
+            if args.debug:
+                raise
+            errors.extend(g[0] for g in group)
+        finally:
+            group.clear()
+
     for qid, data, movie, features, query_feats, query_cls, load_err in (
         prefetch_map(_load, items)
     ):
@@ -149,6 +214,7 @@ def run(args, engine: GroundingEngine) -> Dict[str, int]:
 
             if getattr(args, "task", "grounding") in ("captioning", "all"):
                 # dense captioning per window (reference eval_nlq_negative.py:265-268)
+                _flush()
                 cap_res = engine.caption_windows(features, movie_key=movie)
                 M.write_log(prediction_path, movie, "captioning", qid, cap_res["answers"])
                 if getattr(args, "task", "grounding") == "captioning":
@@ -163,35 +229,22 @@ def run(args, engine: GroundingEngine) -> Dict[str, int]:
             if "sentence" in data and sentence.endswith("."):
                 sentence = sentence[:-1]
 
-            res = engine.ground_windows(
-                features, sentence, query_feats, query_cls,
-                question_key=args.mad_prompt, movie_key=movie,
-            )
-
-            duration = data.get("movie_duration", data.get("duration"))
-            timestamps = data["timestamps"]
-            gt = (timestamps[0] / duration, timestamps[1] / duration)
-            num_frames_video = int(duration * args.num_frames / args.debug_window)
-            # res["scores"] is already per-PROPOSAL (the engine replicates
-            # the reference's parse -> cosine -> normalize -> merge chain,
-            # eval_nlq_negative.py:281-336), in ascending-window order —
-            # the same order stage1_iou emits ious. Passing it back through
-            # stage1_iou's per-window filtering would mis-index (it expects
-            # one score per WINDOW, reference :291-298).
-            _, ious, _ = M.stage1_iou(
-                res["answers"], gt, args.num_frames, num_frames_video,
-                [], getattr(args, "plus_baseline", False),
-            )
-            M.write_log(
-                prediction_path, movie, "grounding", qid, res["answers"],
-                info={"iou": ious, "scores": res["scores"]},
-            )
-            n_done += 1
-            latencies.append(_time.time() - _t0)
+            # flush on movie change or qf-presence change (batches must be
+            # same-movie and qf-uniform)
+            if group and (
+                group[0][2] != movie
+                or (group[0][4] is None) != (query_feats is None)
+            ):
+                _flush()
+            group.append((qid, data, movie, features, query_feats,
+                          query_cls, sentence, _t0))
+            if len(group) >= qbatch:
+                _flush()
         except Exception:
             if args.debug:
                 raise
             errors.append(qid)
+    _flush()
     print("errors", errors, file=sys.stderr)
     stats = {"done": n_done, "errors": len(errors)}
     if latencies:

@@ -67,6 +67,9 @@ def parse_args(argv=None):
                    help="dp,fsdp,tp — run every program GSPMD-sharded over "
                         "this chip mesh (e.g. 2,2,2 on a v5e-8)")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--query_batch", type=int, default=1,
+                   help="row-stack N same-movie queries' zoom passes into "
+                        "shared bucket-shaped programs (throughput mode)")
     p.add_argument("--debug", type=str2bool, default=False)
     return p.parse_args(argv)
 
@@ -154,6 +157,65 @@ def run(args, engine: GroundingEngine) -> Dict[str, int]:
 
     errors, n_done = [], 0
     latencies = []
+    qbatch = max(int(getattr(args, "query_batch", 1) or 1), 1)
+
+    def _finalize(qid, movie, data, res, t0):
+        nonlocal n_done
+        frames, ious = M.stage2_window_hit(
+            res["answers"], data["timestamps"], res["starts"], res["indexes"],
+            res["hierarchy_zooms"], res["grounding_windows"], args.batch,
+        )
+        M.write_log(
+            prediction_path, movie, "grounding", qid, res["answers"],
+            info={
+                "gt": data["timestamps"],
+                "frames": frames,
+                "iou": ious,
+                "score_cos": res["score_cos"],
+                "mean_entropy": res["mean_entropy"],
+                "max_entropy": res["max_entropy"],
+                "hierarchy_zooms": res["hierarchy_zooms"],
+            },
+        )
+        n_done += 1
+        latencies.append(_time.time() - t0)
+
+    # --query_batch N: row-stack N same-movie queries' zoom passes into as
+    # few bucket-shaped programs as fit (engine.retrieve_batch). The shared
+    # rng generator is passed to every query IN ORDER, so the permutation
+    # stream matches the sequential path exactly.
+    group: List[tuple] = []
+
+    def _flush():
+        if not group:
+            return
+        movie = group[0][2]
+        features = group[0][3]
+        qkey = getattr(args, "retrieval_prompt", "retrieval")
+        try:
+            if len(group) == 1:
+                g = group[0]
+                res_list = [engine.retrieve(
+                    features, g[6], g[4], g[5], grounding_windows=g[7],
+                    rng=rng, question_key=qkey, movie_key=movie,
+                )]
+            else:
+                res_list = engine.retrieve_batch(
+                    features,
+                    [{"sentence": g[6], "query_feats": g[4],
+                      "query_cls": g[5], "grounding_windows": g[7],
+                      "rng": rng} for g in group],
+                    question_key=qkey, movie_key=movie,
+                )
+            for g, res in zip(group, res_list):
+                _finalize(g[0], g[2], g[1], res, g[8])
+        except Exception:
+            if args.debug:
+                raise
+            errors.extend(g[0] for g in group)
+        finally:
+            group.clear()
+
     for qid, data, movie, features, query_feats, query_cls, load_err in (
         prefetch_map(_load, items)
     ):
@@ -182,35 +244,20 @@ def run(args, engine: GroundingEngine) -> Dict[str, int]:
                 nw = num_windows_strided(len(features), clip_length, args.stride)
                 gw = grounding_prefilter(grounding_dict[qid], nw, args.stride, args.batch)
 
-            res = engine.retrieve(
-                features, sentence, query_feats, query_cls,
-                grounding_windows=gw, rng=rng,
-                question_key=getattr(args, "retrieval_prompt", "retrieval"),
-                movie_key=movie,
-            )
-
-            frames, ious = M.stage2_window_hit(
-                res["answers"], data["timestamps"], res["starts"], res["indexes"],
-                res["hierarchy_zooms"], res["grounding_windows"], args.batch,
-            )
-            M.write_log(
-                prediction_path, movie, "grounding", qid, res["answers"],
-                info={
-                    "gt": data["timestamps"],
-                    "frames": frames,
-                    "iou": ious,
-                    "score_cos": res["score_cos"],
-                    "mean_entropy": res["mean_entropy"],
-                    "max_entropy": res["max_entropy"],
-                    "hierarchy_zooms": res["hierarchy_zooms"],
-                },
-            )
-            n_done += 1
-            latencies.append(_time.time() - _t0)
+            if group and (
+                group[0][2] != movie
+                or (group[0][4] is None) != (query_feats is None)
+            ):
+                _flush()
+            group.append((qid, data, movie, features, query_feats,
+                          query_cls, sentence, gw, _t0))
+            if len(group) >= qbatch:
+                _flush()
         except Exception:
             if args.debug:
                 raise
             errors.append(qid)
+    _flush()
     print("errors", errors, file=sys.stderr)
     stats = {"done": n_done, "errors": len(errors)}
     if latencies:

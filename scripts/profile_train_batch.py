@@ -117,9 +117,6 @@ def main(argv=None):
     base = dev(base_host)
     del base_host
 
-    vision = revisionllm.init_vision_params(
-        acfg, jax.random.PRNGKey(1), d_in=768, dtype=jnp.bfloat16
-    )
     tok = FakeTokenizer()
     dataset = GroundingDataset(
         dcfg.data_path, tok, dcfg, rng=np.random.default_rng(3),
@@ -134,6 +131,12 @@ def main(argv=None):
             training_stage=2, lora=LoraConfig(r=64, alpha=128),
             gradient_checkpointing=True, per_device_batch_size=B,
             learning_rate=1e-4, model_max_length=args.seq,
+        )
+        # fresh vision per B: the previous B's step_fn DONATED the trainable
+        # tree (vision included) — reusing those buffers raises
+        # "Array has been deleted"
+        vision = revisionllm.init_vision_params(
+            acfg, jax.random.PRNGKey(1), d_in=768, dtype=jnp.bfloat16
         )
         trainable, frozen, _ = trainer_lib.build_trainable(
             cfg, tcfg, vision, jax.random.PRNGKey(2)

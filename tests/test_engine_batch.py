@@ -170,3 +170,55 @@ class TestRetrieveBatch:
         )
         for s, b in zip(singles, batched):
             assert s["answers"] == b["answers"]
+
+
+class TestCLIQueryBatch:
+    def test_stage1_cli_query_batch_parity(self, tmp_path):
+        """--query_batch 2 writes byte-identical prediction logs to the
+        sequential path (same engine, same world)."""
+        import argparse
+        import json as _json
+        import os
+
+        from revisionllm_tpu.eval import stage1
+
+        eng = _make_engine()
+        rng = np.random.default_rng(0)
+        feats = rng.normal(size=(400, 16)).astype(np.float32)
+        np.save(tmp_path / "m1.npy", feats)
+        data = {
+            f"q{i}": {
+                "movie": "m1", "movie_duration": 200.0,
+                "timestamps": [50.0, 60.0], "query": s,
+            }
+            for i, s in enumerate(["a red car drives by.", "a blue door opens."])
+        }
+        with open(tmp_path / "val.json", "w") as f:
+            _json.dump(data, f)
+        _warm_vocab(
+            eng, [{"sentence": d["query"].strip(".?").lower()} for d in data.values()],
+            "mad_grounding",
+        )
+
+        def run(qb, log):
+            args = argparse.Namespace(
+                data_path=str(tmp_path / "val.json"), feat_folder=str(tmp_path),
+                q_feat_dir=None, log_path=str(tmp_path / log),
+                debug_window=20, num_frames=16, feature_fps=2.0,
+                batch=4, split=0, total_split=1,
+                score="mean_entropy", score_merge="multiply",
+                normalize=True, topk_pool=True, skip_small_videos=True,
+                mad_prompt="mad_grounding", max_new_tokens=6, debug=True,
+                query_batch=qb,
+            )
+            out = stage1.run(args, eng)
+            assert out["errors"] == 0 and out["done"] == 2
+            path = os.path.join(str(tmp_path / log), "predictions_streaming_0.txt")
+            return [
+                {k: v for k, v in _json.loads(l).items()}
+                for l in open(path)
+            ]
+
+        seq = run(1, "s1")
+        bat = run(2, "s2")
+        assert seq == bat
