@@ -339,9 +339,13 @@ def bench_e2e(params=None, mq: int = 0):
 
     if mq:
         # extend the stage-2 row buckets so mq queries' passes (10 each in
-        # the dense-prefilter case) fit ONE program per batch
+        # the dense-prefilter case) pack into FEW dispatches per batch.
+        # Cap at 20 rows: the 40-row program OOMs the 16 GB chip by ~1 GB
+        # (row-linear gather + ClipEncoder activations + KV next to the
+        # 6.75 GB int8 weights); Q=4 then runs as two 20-row dispatches —
+        # still 2x decode-weight-read amortization per query.
         os.environ.setdefault(
-            "REVISIONLLM_S2_ROW_BUCKETS_MQ", "7,10,14,20,28,40"
+            "REVISIONLLM_S2_ROW_BUCKETS_MQ", "7,10,14,20"
         )
         buckets_mq = os.environ["REVISIONLLM_S2_ROW_BUCKETS_MQ"]
 

@@ -261,13 +261,24 @@ def _attn_bf16_scores() -> bool:
     halving it measured 6.1 -> 4.0 ms/layer isolated (probe_mxu attn_f32 vs
     attn_bf16, round 5). Relative logit error ~0.4% — the same order as the
     already-promoted W8A8 matmul noise, and the serving K cache is int8
-    (KV8) anyway. Opt-in pending the e2e + quant-validation A/B; bf16 inputs
-    only (f32/CPU test paths keep exact math)."""
+    (KV8) anyway.
+
+    DEFAULT ON for TPU backends since round 5 (e2e: chunk 1834 -> 1774 ms,
+    0.633 q/s; trained-model R1 A/B within the noise band — BENCH_NOTES
+    round 5). REVISIONLLM_ATTN_BF16=0 opts out; non-TPU backends keep exact
+    f32 scores so unit tests pin exact math, and the gate requires bf16
+    inputs either way (f32/training paths unaffected)."""
     global _ATTN_BF16
     if _ATTN_BF16 is None:
         import os
 
-        _ATTN_BF16 = os.environ.get("REVISIONLLM_ATTN_BF16", "0") == "1"
+        env = os.environ.get("REVISIONLLM_ATTN_BF16")
+        if env is not None:
+            _ATTN_BF16 = env == "1"
+        else:
+            from revisionllm_tpu.utils.backend import is_tpu_backend
+
+            _ATTN_BF16 = is_tpu_backend()
     return _ATTN_BF16
 
 
@@ -319,7 +330,8 @@ def attention(
     if use_pallas:
         B, T, H, _ = q.shape
         S = k.shape[1]
-        if B * H * T * S * 4 > _EINSUM_SCORES_BYTES_MAX:
+        score_bytes = 2 if (_attn_bf16_scores() and q.dtype == jnp.bfloat16) else 4
+        if B * H * T * S * score_bytes > _EINSUM_SCORES_BYTES_MAX:
             # flash_attention clamps block_q to T, so an 8-aligned round-up
             # here would be dead; one block spanning the whole (possibly
             # unaligned) sequence is the measured-fastest config at this size

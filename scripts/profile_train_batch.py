@@ -44,6 +44,9 @@ def main(argv=None):
     ap.add_argument("--seq", type=int, default=2048)
     ap.add_argument("--batches", type=str, default="1,2,4")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--split_fwd", action="store_true",
+                    help="additionally time loss-forward-only and grad-only "
+                         "programs per B (locates fwd vs bwd scaling)")
     args = ap.parse_args(argv)
 
     t0 = time.time()
@@ -180,8 +183,25 @@ def main(argv=None):
         float(metrics["loss"])  # drain
         device_ms = (time.time() - t) / args.iters * 1e3
 
+        extra = {}
+        if args.split_fwd:
+            loss_fn = trainer_lib.make_loss_fn(cfg, acfg, tcfg)
+            fwd = jax.jit(loss_fn)
+            grad = jax.jit(jax.grad(loss_fn))
+            for name, fn in (("fwd", fwd), ("grad", grad)):
+                rng, sub = jax.random.split(rng)
+                out = fn(trainable, frozen, base, dev_batches[0], sub)
+                jax.tree.leaves(out)[0].block_until_ready()
+                t = time.time()
+                for s in range(args.iters):
+                    rng, sub = jax.random.split(rng)
+                    out = fn(trainable, frozen, base, dev_batches[s % 4], sub)
+                np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+                extra[f"{name}_ms"] = round((time.time() - t) / args.iters * 1e3, 1)
+
         row = {
             "B": B,
+            **extra,
             "host_ms": round(host_ms, 1),
             "device_ms": round(device_ms, 1),
             "loop_ms": round(host_ms + device_ms, 1),

@@ -89,6 +89,10 @@ def eval_model(
         mm_projector_path=os.path.join(out_dir, "non_lora_trainables.bin"),
         stage2_lora=out_dir, dtype=np.float32,
     )
+    # eval in f32 end to end (the synthetic_tiny preset trains in f32; the
+    # HF-derived config defaults to bfloat16, which would mix dtypes in the
+    # prefill scan carry)
+    cfg = cfg.__class__(**{**cfg.__dict__, "dtype": "float32"})
     acfg = acfg.with_hidden(cfg.hidden_size)
     params, vision = jnp_tree(params), jnp_tree(vision)
     tokenizer = AutoTokenizer.from_pretrained(hf, use_fast=True)
@@ -111,10 +115,16 @@ def eval_model(
 
     info = json.load(open(corpus["eval_json"]))
     ious, decoy_hits = [], 0
-    for k, (vid, meta) in enumerate(sorted(info.items())):
+    crops_per_movie = 4  # n = 4 x val_movies measurements (n=16 was noise)
+    cases = [
+        (k, j, vid, meta)
+        for k, (vid, meta) in enumerate(sorted(info.items()))
+        for j in range(crops_per_movie)
+    ]
+    for k, j, vid, meta in cases:
         feats = np.load(os.path.join(corpus["features"], vid + ".npy"))
         t0, t1 = meta["spans"]["target"]
-        rng = np.random.default_rng([97, k])
+        rng = np.random.default_rng([97, k, j])
         s2, e2 = _crop(t0, t1, len(feats), rng)
         idx2 = np.linspace(s2, e2, NUM_FRAMES, dtype=np.int32)
         images = feats[idx2][None]  # [1, 16, d]
