@@ -218,6 +218,22 @@ def _w8a8_enabled() -> bool:
     return _W8A8_PREFILL
 
 
+_EXACT_TRACE = False
+
+
+def set_exact_trace(enabled: bool) -> None:
+    """Force every DEFAULT-dispatch quantized matmul onto the differentiable
+    exact-dequant route (no Pallas kernel, no W8A8 activation rounding).
+
+    The trainer's _dequant_trace guard sets this while a loss is traced:
+    the Pallas int8/int4 kernels carry no JVP rule, so a small-M call
+    (M <= pallas_max_m — e.g. stage-2/stage-3 hierarchy sequences of ~256
+    tokens) reached under jax.grad on a TPU backend fails to differentiate.
+    Explicit use_pallas=True requests still win (kernel-parity tests)."""
+    global _EXACT_TRACE
+    _EXACT_TRACE = enabled
+
+
 def q8_apply(
     x: jnp.ndarray, w, use_pallas: Optional[bool] = None,
     pallas_max_m: int = 256,
@@ -244,7 +260,10 @@ def q8_apply(
         return x @ w
     explicit_exact = use_pallas is False
     if use_pallas is None:
-        use_pallas = _is_tpu_backend()
+        if _EXACT_TRACE:
+            use_pallas, explicit_exact = False, True
+        else:
+            use_pallas = _is_tpu_backend()
     M = 1
     for d in x.shape[:-1]:
         M *= d
@@ -285,7 +304,7 @@ def q8_apply_multi(
         M *= d
     shared = (
         plain and len(ws) >= 2 and use_pallas is not False
-        and _w8a8_enabled() and M > pallas_max_m
+        and not _EXACT_TRACE and _w8a8_enabled() and M > pallas_max_m
     )
     if not shared:
         return tuple(
@@ -390,6 +409,8 @@ def q8c_apply(
     materialized f32 partials. Only the small-M Pallas decode fallback
     loops per chunk (tiny outputs, the serve kernel is the default there).
     """
+    if use_pallas is None and _EXACT_TRACE:
+        use_pallas = False
     explicit_exact = use_pallas is False
     resolved_pallas = _is_tpu_backend() if use_pallas is None else use_pallas
     M = 1
@@ -662,7 +683,7 @@ def q4_apply(
     is MXU-bound — XLA dequant+dot avoids the unpack-per-k-block overhead,
     mirroring the int8 dispatch above."""
     if use_pallas is None:
-        use_pallas = _is_tpu_backend()
+        use_pallas = False if _EXACT_TRACE else _is_tpu_backend()
     M = 1
     for d in x.shape[:-1]:
         M *= d

@@ -37,15 +37,20 @@ def _dequant_trace():
     """Force the differentiable dequant+dot route for int8 base weights
     while a loss is being TRACED (QLoRA-style training: frozen int8 base +
     LoRA/adapter grads). The W8A8 activation path contains `round()` whose
-    zero derivative would sever gradient flow to earlier layers' LoRA."""
+    zero derivative would sever gradient flow to earlier layers' LoRA, and
+    the Pallas kernels carry no JVP rule — small-M calls (stage-2/stage-3
+    hierarchy sequences, M <= pallas_max_m) would reach int8_matmul under
+    jax.grad on a TPU backend and fail to differentiate."""
     from revisionllm_tpu.ops import quant
 
     prev = quant._W8A8_PREFILL
     quant.set_w8a8(False)
+    quant.set_exact_trace(True)
     try:
         yield
     finally:
         quant.set_w8a8(prev)
+        quant.set_exact_trace(False)
 
 
 def build_trainable(

@@ -130,3 +130,35 @@ class TestQLora:
             # within combined quantization noise of the two roundtrips
             tol = 2.1 * np.abs(ref).max(axis=-2, keepdims=True) / 127.0
             assert (np.abs(deq - ref) <= tol + 1e-6).all()
+
+
+class TestExactTraceGuard:
+    def test_small_m_grad_with_tpu_dispatch(self, monkeypatch):
+        """Round-5 regression: on a TPU backend a SMALL-M q8_apply call
+        (M <= pallas_max_m, e.g. stage-3 hierarchy sequences of ~256 tokens)
+        dispatches to the Pallas int8_matmul, which has no JVP rule —
+        jax.grad through it raised inside pallas_call's jvp rule. The
+        trainer's _dequant_trace must force the exact dequant route for
+        DEFAULT-dispatch calls while tracing (explicit use_pallas=True
+        still reaches the kernel for parity tests)."""
+        from revisionllm_tpu.ops import quant
+
+        monkeypatch.setattr(quant, "_is_tpu_backend", lambda: True)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(4, 32)), jnp.float32)  # M=4 << 256
+        q8, scale = quant.quantize_int8(
+            jnp.asarray(rng.normal(size=(32, 16)), jnp.float32)
+        )
+        w = {"q8": q8, "scale": scale}
+
+        def loss(x):
+            return quant.q8_apply(x, w).sum()
+
+        with trainer_lib._dequant_trace():
+            g = jax.grad(loss)(x)  # raised AssertionError before the guard
+        expected = jax.grad(
+            lambda x: (x @ quant.dequantize_int8(w["q8"], w["scale"], x.dtype)).sum()
+        )(x)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(expected), rtol=1e-6)
+        # guard restored: default dispatch resolves to the kernel path again
+        assert quant._EXACT_TRACE is False
