@@ -24,16 +24,25 @@ import numpy as np
 from revisionllm_tpu.config import LoraConfig
 
 
-_ASYNC_CKPTR: Optional[Any] = None
+_PENDING_SAVES: list = []
+_SAVE_ERRORS: list = []
+_COPY_FN: Optional[Any] = None
 
 
-def _async_checkpointer():
-    global _ASYNC_CKPTR
-    if _ASYNC_CKPTR is None:
-        import orbax.checkpoint as ocp
+def _device_snapshot(state):
+    """Copy every device array in `state` to FRESH device buffers (one jitted
+    identity-copy program over the whole tree; an HBM->HBM copy costs ~ms).
+    The caller may then donate the originals to the next train step while a
+    background thread drains the snapshot to host."""
+    global _COPY_FN
+    import jax.numpy as jnp
 
-        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
-    return _ASYNC_CKPTR
+    if _COPY_FN is None:
+        _COPY_FN = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
+    flat, treedef = jax.tree.flatten(state)
+    copied = iter(_COPY_FN([x for x in flat if isinstance(x, jax.Array)]))
+    out = [next(copied) if isinstance(x, jax.Array) else x for x in flat]
+    return jax.tree.unflatten(treedef, out)
 
 
 def save_checkpoint(
@@ -42,29 +51,55 @@ def save_checkpoint(
     """Orbax save of {trainable, opt_state, step}. Resumable mid-run (the
     auto-resume behavior of reference train/train.py:394-397).
 
-    block=False overlaps the disk write with subsequent train steps: the
-    device->host copy is synchronous (state is immutable thereafter) and
-    serialization/commit run in a background thread — a 7 GB QLoRA state
-    takes ~100 s to land on the relay-mounted disk, which at the reference's
-    checkpoint cadence is real lost throughput if the step loop waits for
-    it. Orbax commits via atomic rename, so `latest_checkpoint` never sees a
-    partial save. Callers MUST call `wait_for_checkpoints()` before process
-    exit (and before restoring a just-saved step in-process)."""
+    block=False overlaps the WHOLE save with subsequent train steps. Orbax's
+    AsyncCheckpointer only backgrounds the disk write; its device->host copy
+    is synchronous, and on the relay-tunneled link that copy IS the stall
+    (measured ~70 s for a 1.8 GB QLoRA state at ~26 MB/s — TRAIN_7B.json
+    round-5 run 1, std 9.0 s from exactly two such stalls). Here the state
+    is snapshotted to fresh DEVICE buffers first (~ms; donation-safe
+    immediately), then a background thread drains it host-side and commits
+    via the blocking orbax writer (atomic rename, so `latest_checkpoint`
+    never sees a partial save). Callers MUST call `wait_for_checkpoints()`
+    before process exit (and before restoring a just-saved step
+    in-process)."""
+    import threading
+
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckpt_dir = os.path.join(path, f"checkpoint-{step}")
     if not block:
-        _async_checkpointer().save(ckpt_dir, args=ocp.args.StandardSave(state))
+        snap = _device_snapshot(state)
+
+        def _bg():
+            try:
+                host = jax.tree.map(
+                    lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
+                    snap,
+                )
+                with ocp.StandardCheckpointer() as ckptr:
+                    ckptr.save(ckpt_dir, host)
+            except Exception as e:  # surfaced by wait_for_checkpoints
+                _SAVE_ERRORS.append((ckpt_dir, e))
+
+        t = threading.Thread(target=_bg, daemon=True, name=f"ckpt-save-{step}")
+        t.start()
+        _PENDING_SAVES.append(t)
         return
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(ckpt_dir, state)
 
 
 def wait_for_checkpoints() -> None:
-    """Block until every pending async save has committed."""
-    if _ASYNC_CKPTR is not None:
-        _ASYNC_CKPTR.wait_until_finished()
+    """Block until every pending async save has committed; re-raise the
+    first background-save failure (a silently dropped checkpoint would
+    defeat auto-resume)."""
+    while _PENDING_SAVES:
+        _PENDING_SAVES.pop().join()
+    if _SAVE_ERRORS:
+        ckpt_dir, err = _SAVE_ERRORS.pop(0)
+        _SAVE_ERRORS.clear()
+        raise RuntimeError(f"async checkpoint save failed for {ckpt_dir}") from err
 
 
 def latest_checkpoint(path: str) -> Optional[str]:
