@@ -69,6 +69,13 @@ def save_checkpoint(
     path = os.path.abspath(path)
     ckpt_dir = os.path.join(path, f"checkpoint-{step}")
     if not block:
+        # Bound live snapshots to ONE: join any still-draining save before
+        # allocating the next snapshot. Two 1.8 GB QLoRA snapshots coexisting
+        # in HBM OOMed a 7B run (round-5 witness, saves 50 steps apart with a
+        # ~70 s drain). Saves spaced further apart than the drain time stall
+        # zero; closer spacing stalls for the drain remainder, never OOMs.
+        while _PENDING_SAVES:
+            _PENDING_SAVES.pop().join()
         snap = _device_snapshot(state)
 
         def _bg():

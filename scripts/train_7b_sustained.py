@@ -217,6 +217,10 @@ def main(argv=None):
         restored = ckpt_lib.restore_checkpoint(latest, template)
         trainable, opt_state = restored["trainable"], restored["opt_state"]
         start_step = int(restored["step"])
+        # free the init-time device arrays captured by `template`: keeping
+        # both trees alive is +1.8 GB of dead HBM, which OOMed the resumed
+        # process at the first async-save snapshot (fresh starts fit)
+        del template, restored
         print(f"resumed from {latest} at step {start_step}", file=sys.stderr, flush=True)
 
     step_fn = jax.jit(
@@ -248,7 +252,7 @@ def main(argv=None):
         threading.Thread(target=producer, daemon=True).start()
 
     phase(f"training {start_step} -> {args.max_steps} (compile on first step)")
-    times, losses = [], []
+    times, losses, save_stalls = [], [], []
     t_last = time.time()
     for step in range(start_step, args.max_steps):
         b = batch_q.get() if batch_q is not None else build_batch(step)
@@ -267,15 +271,25 @@ def main(argv=None):
                        grad_norm=float(metrics["grad_norm"]), sec_per_step=dt)
             phase(f"step {step + 1}: loss {loss:.4f} ({dt*1e3:.0f} ms)")
         if (step + 1) % args.save_steps == 0 or step == args.max_steps - 1:
-            # async: the ~100 s relay-disk write (7 GB opt state) overlaps
-            # the next train steps instead of stalling the loop
+            # async: the D2H drain + relay-disk write overlaps the next train
+            # steps. The call itself only stalls when the PREVIOUS save is
+            # still draining (checkpoint.py bounds live snapshots to one);
+            # that residual stall = max(0, drain - save interval), timed here
+            # as its own series so step stats measure steps, not drain BW.
+            t_save = time.time()
             ckpt_lib.save_checkpoint(
                 args.out,
                 {"trainable": trainable, "opt_state": opt_state, "step": step + 1},
                 step + 1,
                 block=False,
             )
-            phase(f"checkpoint save dispatched at step {step + 1}")
+            stall = time.time() - t_save
+            save_stalls.append(round(stall, 1))
+            t_last = time.time()  # keep the stall out of the next step's dt
+            phase(
+                f"checkpoint save dispatched at step {step + 1} "
+                f"(stall {stall:.1f}s waiting on previous drain)"
+            )
 
     phase("waiting for pending checkpoint commits")
     ckpt_lib.wait_for_checkpoints()
@@ -289,6 +303,7 @@ def main(argv=None):
         "tokens_per_sec": round(args.batch * args.seq / float(np.median(steady)), 1),
         "loss_first": round(losses[0], 4),
         "loss_last": round(float(np.mean(losses[-10:])), 4),
+        "save_stalls_s": save_stalls,
         "seq": args.seq, "batch": args.batch, "lora_r": tcfg.lora.r,
     }
     with open(os.path.join(args.out, "TRAIN_7B.json"), "a") as f:
